@@ -1,0 +1,168 @@
+package graft.html
+
+/** Minimal HTML start-tag scanner reproducing the observable subset of
+  * BeautifulSoup('html.parser') behavior the reference extractors use
+  * (`extractors5/http_feature.py:211-452`): `find_all(name)` over flat
+  * start tags, attribute access via `get`, multi-valued `class`, and
+  * `<title>` text. No tree is built — none of the features need one.
+  *
+  * Mirrored html.parser semantics:
+  *  - tag and attribute names lower-cased;
+  *  - `<script>`/`<style>` content is CDATA — tags inside them are NOT
+  *    parsed (Python `HTMLParser.CDATA_CONTENT_ELEMENTS`);
+  *  - comments `<!-- -->` and declarations `<! >` skipped;
+  *  - valueless attributes read back as None (here [[Tag.get]] → None);
+  *  - `class` is multi-valued (whitespace-split), all other attributes
+  *    single strings.
+  *
+  * No jsoup/bs4 jar exists in this sandbox (SURVEY.md §7.1); fixture
+  * HTML is well-formed enough that full HTML5 error recovery is not
+  * required. Divergence risk on pathological markup is documented.
+  */
+object TagScanner {
+
+  final case class Tag(
+      name: String,
+      attrs: Vector[(String, Option[String])],
+      text: String) {
+
+    /** bs4 `tag.get(name)`: attribute value, None when absent OR
+      * valueless (html.parser yields None for valueless attributes —
+      * both falsy in every reference call site). Last duplicate wins
+      * (dict build order). */
+    def getOpt(attr: String): Option[String] = {
+      var found: Option[String] = null
+      for ((k, v) <- attrs if k == attr) found = v
+      if (found == null) None else found
+    }
+
+    /** bs4 multi-valued class list. */
+    def classList: Vector[String] =
+      getOpt("class").map(_.split("\\s+").filter(_.nonEmpty).toVector).getOrElse(Vector.empty)
+  }
+
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Scan all start tags in document order. For `title` tags, `text`
+    * carries the raw content up to the matching `</title`. */
+  def scan(html: String): Vector[Tag] = {
+    val out = Vector.newBuilder[Tag]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else if (lt + 1 >= n) { i = n }
+      else {
+        val c = html.charAt(lt + 1)
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (c == '!' || c == '?') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (c == '/') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (isNameStart(c)) {
+          val (tag, after) = parseStartTag(html, lt)
+          tag match {
+            case Some(t) =>
+              if (t.name == "script" || t.name == "style") {
+                // CDATA: skip to the matching close tag, case-insensitive
+                val close = indexOfIgnoreCase(html, "</" + t.name, after)
+                out += t
+                i = if (close < 0) n else html.indexOf('>', close) match {
+                  case -1 => n
+                  case e  => e + 1
+                }
+              } else if (t.name == "title") {
+                val close = indexOfIgnoreCase(html, "</title", after)
+                val text = if (close < 0) html.substring(after) else html.substring(after, close)
+                out += t.copy(text = text)
+                i = if (close < 0) n
+                    else html.indexOf('>', close) match { case -1 => n; case e => e + 1 }
+              } else {
+                out += t
+                i = after
+              }
+            case None => i = lt + 1
+          }
+        } else {
+          i = lt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
+    val sl = s.length; val subl = sub.length
+    var i = math.max(from, 0)
+    while (i <= sl - subl) {
+      var j = 0
+      var ok = true
+      while (ok && j < subl) {
+        if (Character.toLowerCase(s.charAt(i + j)) != Character.toLowerCase(sub.charAt(j))) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse one start tag beginning at `lt` (html.charAt(lt)=='<').
+    * Returns the Tag and the index just past the closing '>'. */
+  private def parseStartTag(html: String, lt: Int): (Option[Tag], Int) = {
+    val n = html.length
+    var i = lt + 1
+    val nameStart = i
+    while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+    val name = html.substring(nameStart, i).toLowerCase
+    if (name.isEmpty) return (None, i)
+    val attrs = Vector.newBuilder[(String, Option[String])]
+    var done = false
+    while (!done && i < n) {
+      while (i < n && (html.charAt(i).isWhitespace || html.charAt(i) == '/')) i += 1
+      if (i >= n) done = true
+      else if (html.charAt(i) == '>') { i += 1; done = true }
+      else {
+        // attribute name
+        val as = i
+        while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
+               html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+        val aname = html.substring(as, i).toLowerCase
+        while (i < n && html.charAt(i).isWhitespace) i += 1
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i)
+            i += 1
+            val vs = i
+            while (i < n && html.charAt(i) != q) i += 1
+            attrs += ((aname, Some(html.substring(vs, i))))
+            if (i < n) i += 1
+          } else {
+            val vs = i
+            while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+            attrs += ((aname, Some(html.substring(vs, i))))
+          }
+        } else if (aname.nonEmpty) {
+          attrs += ((aname, None)) // valueless attribute → bs4 None
+        }
+      }
+    }
+    (Some(Tag(name, attrs.result(), "")), i)
+  }
+
+  /** bs4 `find_all(name)`. */
+  def findAll(tags: Vector[Tag], name: String): Vector[Tag] = tags.filter(_.name == name)
+
+  /** bs4 `find_all(type="submit")` — ANY tag whose `type` attr equals
+    * the value (`extractors5/http_feature.py:278`). */
+  def findAllByAttr(tags: Vector[Tag], attr: String, value: String): Vector[Tag] =
+    tags.filter(_.getOpt(attr).contains(value))
+}

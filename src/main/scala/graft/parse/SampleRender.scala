@@ -1,0 +1,126 @@
+package graft.parse
+
+import graft.model.{HeaderHop, NetInfo}
+import graft.py.Py
+import scala.collection.mutable
+
+/** Byte-identical rendering of one sample document, mirroring the write
+  * path of `/root/reference/spider.py` `DownloadHTTPFile.run`
+  * (:268-290) and its helpers. Block order: url line, optional CYCLING
+  * warning (:274-275), NSLOOKUP (:276,62-71), HOST (:277,73-78), WHOIS
+  * (:278,80-93), then `download_file` (:279,379-399) which re-walks the
+  * redirect history writing one HEADER + HTTP block per budgeted hop and
+  * finally the main HEADER + HTTP, then TIMER (:280,39-43).
+  */
+object SampleRender {
+
+  /** Result of `is_redirect_cycle` (`spider.py:401-416`): whether a cycle
+    * was detected plus the per-URL visit counts, in insertion order (the
+    * reference iterates a CPython2 dict whose order is hash-defined; we
+    * fix insertion order as the engine's canonical order — documented
+    * divergence with no reference-side test to contradict it). */
+  final case class CycleWalk(isCycle: Boolean, counts: mutable.LinkedHashMap[String, Int])
+
+  /** Mirror of `redirect_cycle_test` (`spider.py:405-416`) with
+    * `redirect_cycle_times` default 2, stored minus one (:171).
+    * Note the short-circuit: once any hop tests true, the remaining
+    * history URLs are never visited/counted (`test = test or ...`). */
+  def cycleWalk(finalUrl: String, historyUrls: Seq[String], redirectCycleTimes: Int = 2): CycleWalk = {
+    val times = redirectCycleTimes - 1
+    val counts = mutable.LinkedHashMap.empty[String, Int]
+    def visit(u: String): Boolean = {
+      counts.get(u) match {
+        case Some(c) =>
+          if (c > times) return true
+          counts(u) = c + 1
+        case None => counts(u) = 1
+      }
+      false
+    }
+    // reference walks: final response first, then each history entry
+    // (history entries have empty history themselves)
+    var test = visit(finalUrl)
+    if (!test) {
+      val it = historyUrls.iterator
+      while (it.hasNext && !test) test = visit(it.next())
+    } else {
+      // visit(final) true means counts pre-existed — cannot happen on a
+      // fresh walk; kept for structural parity
+    }
+    CycleWalk(test, counts)
+  }
+
+  /** `get_redirect_warning` (`spider.py:418-424`). */
+  def redirectWarning(counts: mutable.LinkedHashMap[String, Int]): String = {
+    val sb = new StringBuilder("\n<=CYCLING REDIRECT WARNING BEGIN=>\n")
+    sb ++= "Cycle Redirect times:\n"
+    for ((k, v) <- counts) sb ++= s"$k:$v\n"
+    sb ++= "\n<=CYCLING REDIRECT WARNING END=>\n"
+    sb.result()
+  }
+
+  /** `get_headers` (`spider.py:505-511`): status line rendered as
+    * `HTTP/%0.1f %d %s` with version/10.0. */
+  def headerBlock(hop: HeaderHop): String = {
+    val sb = new StringBuilder("\n<=HEADER BEGIN=>\n")
+    sb ++= "HTTP/%.1f %d %s\n".formatLocal(java.util.Locale.ROOT, hop.version / 10.0, hop.status, hop.reason)
+    for ((k, v) <- hop.headers) sb ++= s"$k: $v\n"
+    sb ++= "\n<=HEADER END=>\n"
+    sb.result()
+  }
+
+  /** `get_content` (`spider.py:499-503`) — always the MAIN decoded
+    * content, even on history-hop re-walks (quirk, see render). */
+  def contentBlock(content: String): String =
+    "\n<=HTTP BEGIN=>\n" + content + "\n<=HTTP END=>\n"
+
+  def nslookupBlock(soaOut: String, nsOut: String): String =
+    "\n<=NSLOOKUP BEGIN=>\n" + soaOut + "\n" + nsOut + "\n<=NSLOOKUP END=>\n"
+
+  def hostBlock(hostOut: String): String =
+    "\n<=HOST BEGIN=>\n" + hostOut + "\n<=HOST END=>\n"
+
+  def whoisBlock(whoisOut: String): String =
+    "\n<=WHOIS BEGIN=>\n" + whoisOut + "\n<=WHOIS END=>\n"
+
+  def timerBlock(seconds: Double): String =
+    "\n<=TIMER BEGIN=>\n" + Py.str12g(seconds) + "\n" + "\n<=TIMER END=>\n"
+
+  /** Full sample-document render for one live URL.
+    *
+    * `content` is the decoded page body (the reference's
+    * `self.content`, `spider.py:304,440-497`); `net` carries the
+    * subprocess outputs + response chain. Mirrored quirk
+    * (`spider.py:379-397`): the history re-walk writes each budgeted
+    * hop's HEADER block followed by the MAIN content (not the hop's),
+    * decrementing the cycle-walk count per write and breaking at the
+    * first hop whose count is exhausted or absent.
+    */
+  def render(url: String, content: String, net: NetInfo, redirectCycleTimes: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= url + "\n"
+    val walk = cycleWalk(net.finalHop.url, net.history.map(_.url), redirectCycleTimes)
+    if (walk.isCycle) sb ++= redirectWarning(walk.counts)
+    sb ++= nslookupBlock(net.nslookupSoaOut, net.nslookupOut)
+    sb ++= hostBlock(net.hostOut)
+    sb ++= whoisBlock(net.whoisOut)
+    // download_file: history re-walk under the cycle-walk budget
+    if (net.history.nonEmpty) {
+      val budget = walk.counts
+      var break = false
+      for (hop <- net.history if !break) {
+        budget.get(hop.url) match {
+          case Some(c) if c > 0 =>
+            budget(hop.url) = c - 1
+            sb ++= headerBlock(hop)
+            sb ++= contentBlock(content)
+          case _ => break = true
+        }
+      }
+    }
+    sb ++= headerBlock(net.finalHop)
+    sb ++= contentBlock(content)
+    sb ++= timerBlock(net.timerSeconds)
+    sb.result()
+  }
+}

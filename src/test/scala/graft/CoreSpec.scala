@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.py.Py
+import graft.urls.Canonicalize
+import graft.parse.{Blocks, SampleRender}
+import graft.model.{HeaderHop, NetInfo}
+
+/** Pure-core parity tests. Golden values were cross-generated with
+  * Python 2.7.18 (stdlib only) from the documented reference semantics
+  * (SURVEY.md §1.3, §2.2 P8, TIMER format) — see the per-case comments.
+  */
+class CanonicalizeSpec extends AnyFunSuite {
+
+  val crawlerGolden = Seq(
+    "http://example.com/path/x" -> "example.com",
+    "https://www.example.com/" -> "www.example.com",
+    "http://example.com" -> "example.com",
+    "http://example.com?q=1" -> "example.com",
+    "http://user@example.com:8080/x" -> "example.com",
+    "http://user@example.com:8080" -> "example.com",
+    "http://example.com:8080?q=1" -> "example.com",
+    "ftp://host/file.txt" -> "host",
+    "relative/path" -> "elative", // find('//')==-1 → url[1:] quirk
+    "/rooted/path" -> "rooted",
+    "?query" -> "query",
+    "#frag" -> "frag",
+    "" -> "",
+    "http://1.2.3.4/x" -> "1.2.3.4",
+    "http://1.2.3.4" -> "1.2.3.4",
+    "http://@host/x" -> "host",
+    "http:///pathatzero" -> "",
+    "http://:8080/x" -> "",
+    "http://h/@a:b" -> "h",
+    "http://example.com/a?b@c" -> "example.com",
+    "http://example.com\n" -> "example.com\n", // no path → newline kept
+    "http://www.ex.com:443\n" -> "www.ex.com",
+    "//proto-rel/x" -> "proto-rel",
+    "javascript:void(0)" -> "avascript",
+    "http://a.b.c.d.e/f" -> "a.b.c.d.e",
+    "mailto:x@y.z" -> "y.z",
+    "http://h?x@y" -> "h",
+    "http://h/p:q" -> "h",
+    "http://[::1]:8080/x" -> "[::1]")
+
+  val extractorGolden = Seq(
+    "http://example.com/path/x" -> "example.com",
+    "https://www.example.com/" -> "example.com", // strips www.
+    "http://example.com" -> "example.com",
+    "http://example.com?q=1" -> "example.com",
+    "http://user@example.com:8080/x" -> "example.com",
+    "http://user@example.com:8080" -> "example.com",
+    "http://example.com:8080?q=1" -> "example.com",
+    "ftp://host/file.txt" -> "host",
+    "relative/path" -> ".", // no '//' → '.'
+    "/rooted/path" -> ".",
+    "?query" -> ".",
+    "#frag" -> ".",
+    "" -> ".",
+    "http://1.2.3.4/x" -> "1.2.3.4",
+    "http://1.2.3.4" -> "1.2.3.4",
+    "http://@host/x" -> "@host", // '@' at pos 0 not stripped (>0 quirk)
+    "http:///pathatzero" -> "/pathatzero", // '/' at pos 0 doesn't cut
+    "http://:8080/x" -> ":8080",
+    "http://h/@a:b" -> "h",
+    "http://example.com/a?b@c" -> "example.com",
+    "http://example.com\n" -> "example.com\n",
+    "http://www.ex.com:443\n" -> "ex.com",
+    "//proto-rel/x" -> "proto-rel",
+    "javascript:void(0)" -> ".",
+    "http://a.b.c.d.e/f" -> "a.b.c.d.e",
+    "mailto:x@y.z" -> ".",
+    "http://h?x@y" -> "h",
+    "http://h/p:q" -> "h",
+    "http://[::1]:8080/x" -> "[::1]")
+
+  test("crawler domain matches Python2 golden") {
+    for ((u, want) <- crawlerGolden)
+      assert(Canonicalize.crawlerDomain(u) == want, s"url=<$u>")
+  }
+
+  test("extractor domain matches Python2 golden") {
+    for ((u, want) <- extractorGolden)
+      assert(Canonicalize.extractorDomain(u) == want, s"url=<$u>")
+  }
+}
+
+class PyHelperSpec extends AnyFunSuite {
+  // [input repr, python2 str(float)] golden pairs
+  val floatGolden = Seq(
+    0.25 -> "0.25", 1.5 -> "1.5", 0.1 -> "0.1",
+    1.0 / 3.0 -> "0.333333333333", 123456.789 -> "123456.789",
+    1e-05 -> "1e-05", 1.23e-07 -> "1.23e-07", 0.0 -> "0.0",
+    2.0 -> "2.0", 1234567890123.0 -> "1.23456789012e+12",
+    0.123456789012345 -> "0.123456789012", 3.14159265358979 -> "3.14159265359",
+    1e16 -> "1e+16", 1e15 -> "1e+15", 604800.0 -> "604800.0",
+    7.62939453125e-06 -> "7.62939453125e-06")
+
+  test("str12g matches Python2 str(float)") {
+    for ((d, want) <- floatGolden) assert(Py.str12g(d) == want, s"d=$d")
+  }
+
+  test("readLines keeps terminators") {
+    assert(Py.readLines("a\nb\nc") == Vector("a\n", "b\n", "c"))
+    assert(Py.readLines("a\nb\n") == Vector("a\n", "b\n"))
+    assert(Py.readLines("") == Vector())
+  }
+
+  test("pyMatch mirrors re.match: anchored start, $ before final newline") {
+    assert(Py.pyMatch("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$", "1.2.3.4\n"))
+    assert(!Py.pyMatch("^\\d+$", "x12"))
+    assert(Py.pyMatch("^\\d+", "12x")) // prefix match suffices
+    assert(!Py.pyMatch("^\\d+$", "12x"))
+  }
+
+  test("pySplit keeps trailing empties") {
+    assert(Py.pySplit("a.b.", ".").toSeq == Seq("a", "b", ""))
+    assert("a.b.".split("\\.", -1).toSeq == Seq("a", "b", ""))
+  }
+}
+
+class BlocksSpec extends AnyFunSuite {
+  private def lines(text: String) = Py.readLines(text)
+
+  test("basic split") {
+    val text = "http://u/\n\n<=NSLOOKUP BEGIN=>\nns line 1\nns line 2\n<=NSLOOKUP END=>\n\n<=HOST BEGIN=>\nh has address 1.2.3.4\n<=HOST END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.url == "http://u/\n")
+    assert(b.blocks("nslookup") == Vector("ns line 1\nns line 2\n"))
+    assert(b.blocks("host") == Vector("h has address 1.2.3.4\n"))
+  }
+
+  test("repeated blocks accumulate in order") {
+    val text = "http://u/\n\n<=HTTP BEGIN=>\nA\nB\n<=HTTP END=>\n\n<=HTTP BEGIN=>\nC\n<=HTTP END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks("http") == Vector("A\nB\n", "C\n"))
+  }
+
+  test("nested sentinel swallows enclosing block and everything after (quirk)") {
+    val text = "http://u/\n\n<=HTTP BEGIN=>\nA\n<=INNER BEGIN=>\nX\n<=INNER END=>\nB\n<=HTTP END=>\n\n<=TIMER BEGIN=>\n0.5\n\n<=TIMER END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks.isEmpty) // python2 golden: only 'url' key remains
+  }
+
+  test("nested NSLOOKUPSUMMARY poisons enclosing block (quirk)") {
+    val text = "http://u/\n\n<=NSLOOKUP BEGIN=>\nns1\n<=NSLOOKUPSUMMARY BEGIN=>\nsum\n<=NSLOOKUPSUMMARY END=>\nns2\n<=NSLOOKUP END=>\n\n<=HTTP BEGIN=>\nhh\n<=HTTP END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks.isEmpty)
+  }
+
+  test("cycling warning keys as 'cycling'") {
+    val text = "http://u/\n\n<=CYCLING REDIRECT WARNING BEGIN=>\nCycle Redirect times:\nhttp://a:2\n\n<=CYCLING REDIRECT WARNING END=>\n\n<=HTTP BEGIN=>\nZ\n<=HTTP END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks("cycling") == Vector("Cycle Redirect times:\nhttp://a:2\n\n"))
+    assert(b.blocks("http") == Vector("Z\n"))
+  }
+}
+
+class SampleRenderSpec extends AnyFunSuite {
+  private val hop = HeaderHop("http://e.com/", 11, 200, "OK",
+    Seq("Content-Type" -> "text/html; charset=utf-8", "Server" -> "nginx"))
+  private val net = NetInfo(
+    nslookupSoaOut = "Server:\t\t8.8.8.8\nAddress:\t8.8.8.8#53\n\ne.com\n\torigin = ns1.e.com\n\tserial = 2024010101",
+    nslookupOut = "Server:\t\t8.8.8.8\nAddress:\t8.8.8.8#53\n\nName:\te.com\nAddress: 1.2.3.4",
+    hostOut = "e.com has address 1.2.3.4",
+    whoisOut = "Domain Name: E.COM\nRegistrar: Example",
+    finalHop = hop, history = Nil, timerSeconds = 0.25)
+
+  test("render block order and sentinels, byte-exact") {
+    val text = SampleRender.render("http://e.com/", "<html><title>T</title></html>", net)
+    val expected =
+      "http://e.com/\n" +
+      "\n<=NSLOOKUP BEGIN=>\n" + net.nslookupSoaOut + "\n" + net.nslookupOut + "\n<=NSLOOKUP END=>\n" +
+      "\n<=HOST BEGIN=>\n" + net.hostOut + "\n<=HOST END=>\n" +
+      "\n<=WHOIS BEGIN=>\n" + net.whoisOut + "\n<=WHOIS END=>\n" +
+      "\n<=HEADER BEGIN=>\nHTTP/1.1 200 OK\nContent-Type: text/html; charset=utf-8\nServer: nginx\n\n<=HEADER END=>\n" +
+      "\n<=HTTP BEGIN=>\n<html><title>T</title></html>\n<=HTTP END=>\n" +
+      "\n<=TIMER BEGIN=>\n0.25\n\n<=TIMER END=>\n"
+    assert(text == expected)
+  }
+
+  test("render → split round-trips block contents") {
+    val content = "<html>\n<title>Hello</title>\n</html>"
+    val text = SampleRender.render("http://e.com/", content, net)
+    val b = Blocks.splitText(text)
+    assert(b.url == "http://e.com/\n")
+    assert(b.blocks("http") == Vector(content + "\n"))
+    assert(b.blocks("timer") == Vector("0.25\n\n"))
+    assert(b.blocks("header").head.startsWith("HTTP/1.1 200 OK\n"))
+    assert(b.blocks("nslookup") == Vector(net.nslookupSoaOut + "\n" + net.nslookupOut + "\n"))
+  }
+
+  test("redirect history re-walk writes one HEADER+HTTP per hop") {
+    val h1 = HeaderHop("http://r1/", 11, 301, "Moved Permanently", Seq("Location" -> "http://r2/"))
+    val h2 = HeaderHop("http://r2/", 11, 302, "Found", Seq("Location" -> "http://e.com/"))
+    val n2 = net.copy(history = Seq(h1, h2))
+    val text = SampleRender.render("http://r1/", "C", n2)
+    val b = Blocks.splitText(text)
+    assert(b.blocks("http") == Vector("C\n", "C\n", "C\n")) // main content re-written per hop (quirk)
+    assert(b.blocks("header").size == 3)
+    assert(!text.contains("CYCLING")) // 3 distinct urls: no cycle
+  }
+
+  test("redirect cycle detected and budget truncates the re-walk") {
+    // final url http://a/ with history [a, a] → a visited 3× → cycle
+    val ha = HeaderHop("http://a/", 11, 302, "Found", Seq("Location" -> "http://a/"))
+    val n3 = net.copy(finalHop = ha, history = Seq(ha, ha))
+    val text = SampleRender.render("http://a/", "C", n3)
+    assert(text.contains("<=CYCLING REDIRECT WARNING BEGIN=>\nCycle Redirect times:\nhttp://a/:2\n"))
+    val b = Blocks.splitText(text)
+    // budget for http://a/ = 2 → both history hops written, then final
+    assert(b.blocks("header").size == 3)
+  }
+}

@@ -1,0 +1,253 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.features._
+import graft.html.TagScanner
+import graft.parse.{Blocks, SampleRender}
+import graft.model.{HeaderHop, NetInfo}
+import graft.py.Py
+
+class UrlFeatureSpec extends AnyFunSuite {
+  test("url features on a userinfo+dash url") {
+    val url = "http://user@ex-ample.com/a.b/c?d&e\n"
+    assert(UrlFeatures.isHttpConnection(url))
+    assert(!UrlFeatures.isIpAddress(url))
+    assert(UrlFeatures.dots(url) == 1) // ex-ample.com
+    assert(UrlFeatures.isSpecialWords(url)) // '@' and '-' pre-'?'
+    assert(!UrlFeatures.isHexadecimal(url))
+  }
+  test("https and ip detection") {
+    assert(!UrlFeatures.isHttpConnection("https://x/\n"))
+    assert(UrlFeatures.isIpAddress("http://10.2.3.44/x\n"))
+    assert(UrlFeatures.isIpAddress("http://10.2.3.44\n")) // $ before newline
+    assert(UrlFeatures.isHexadecimal("http://h%41x.com/\n"))
+  }
+  test("keywords split/drops") {
+    val kw = UrlFeatures.keywords("http://h.com/dir-one/file.php?a=1&b=2")
+    assert(kw.contains("dir"))
+    assert(kw.contains("one"))
+    assert(!kw.exists(_.startsWith("php")))
+  }
+}
+
+class SimpleExtractorSpec extends AnyFunSuite {
+  test("header: status, continuation lines, redirect") {
+    val h = "HTTP/1.1 302 Found\nLocation: http://x/\nX-Long: part1\n  cont2\n\n"
+    val p = HeaderFeatures.parse(h)
+    assert(p.status.contains(302))
+    assert(p.fields("X-Long") == "part1cont2")
+    assert(HeaderFeatures.isRedirect(h))
+    assert(HeaderFeatures.extract(Seq(h)) == Vector(1.0))
+    assert(HeaderFeatures.extract(Seq("HTTP/1.1 200 OK\nA: b", h)) == Vector(1.0)) // OR-merge
+    assert(HeaderFeatures.extract(Nil) == Vector(0.0))
+  }
+
+  test("host: ipv4/ipv6 counting") {
+    val s = "e.com has address 1.2.3.4\ne.com has IPv6 address ::1\nshort row\n"
+    assert(HostFeatures.counts(s) == ((1, 1)))
+    assert(HostFeatures.extract(Seq(s)) == Vector(1.0, 1.0))
+  }
+
+  test("nslookup: alias, serial, day age against fixed asOf") {
+    val ns = "Server:\t8.8.8.8\n\nwww.e.com\tcanonical name = e.com.\n\torigin = ns1.e.com\n\tserial = 2024010101\n"
+    assert(NslookupFeatures.isAlias(ns))
+    assert(NslookupFeatures.canonicalNames(ns) == Set("e.com"))
+    val serial = NslookupFeatures.getSerial(ns)
+    assert(serial.contains("2024010101"))
+    assert(!NslookupFeatures.isWeirdSerial(serial)) // bound-method quirk: False when serial exists
+    assert(NslookupFeatures.isWeirdSerial(None))
+    // asOf = 2024-03-01T00:00:00Z; serial date = 2024-01-01 → 60 days
+    val asOf = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    assert(NslookupFeatures.dayAge(serial, asOf) == 60)
+    // epoch-seconds serial
+    assert(NslookupFeatures.dayAge(Some((asOf - 86400 * 10).toString), asOf) == 10)
+    // future date → 0
+    assert(NslookupFeatures.dayAge(Some("2099010101"), asOf) == 0)
+    // garbage → 0
+    assert(NslookupFeatures.dayAge(Some("abc"), asOf) == 0)
+  }
+
+  test("whois: nothing/invalid/others patterns incl. the source(s) regex quirk") {
+    assert(!WhoisFeatures.isWithWhois("No match for \"FOO.COM\"\n"))
+    assert(!WhoisFeatures.isWithWhois("x\nInvalid domain name\n"))
+    assert(!WhoisFeatures.isWithWhois("connection Timeout here\n"))
+    assert(WhoisFeatures.isWithWhois("Domain Name: X\nRegistrar: R\n"))
+    // literal 'source(s)' does NOT match (the pattern's parens are a regex group)
+    assert(WhoisFeatures.isWithWhois("no entries found for the selected source(s).\n"))
+    assert(!WhoisFeatures.isWithWhois("no entries found for the selected sources.\n"))
+    // a row containing 'invalid' is only checked against the invalid list
+    assert(WhoisFeatures.isWithWhois("invalid but Timeout too\n"))
+  }
+
+  test("timer and cycling") {
+    assert(TimerFeatures.extract(Seq("0.25\n\n")) == Vector(0.25))
+    assert(CyclingFeatures.extract(Seq("Cycle Redirect times:\nhttp://a:2\n\n")) == Vector(3.0))
+  }
+}
+
+class TagScannerSpec extends AnyFunSuite {
+  test("basic scan, attrs, class list, valueless attr") {
+    val tags = TagScanner.scan(
+      """<a href="http://x/">t</a><input type=submit disabled><p CLASS="a  b">""")
+    assert(tags.map(_.name) == Vector("a", "input", "p"))
+    assert(tags(0).getOpt("href").contains("http://x/"))
+    assert(tags(1).getOpt("type").contains("submit"))
+    assert(tags(1).getOpt("disabled").isEmpty) // valueless → None (bs4)
+    assert(tags(2).classList == Vector("a", "b"))
+  }
+  test("script content is CDATA") {
+    val tags = TagScanner.scan("<script>var a = '<a href=\"x\">';</script><a href=\"real\">")
+    assert(TagScanner.findAll(tags, "a").size == 1)
+    assert(TagScanner.findAll(tags, "a").head.getOpt("href").contains("real"))
+  }
+  test("title text captured raw") {
+    val tags = TagScanner.scan("<title> My Title </title><title>  </title>")
+    assert(TagScanner.findAll(tags, "title").map(_.text) == Vector(" My Title ", "  "))
+  }
+  test("comments and declarations skipped") {
+    val tags = TagScanner.scan("<!doctype html><!-- <a href=\"no\"> --><b>")
+    assert(tags.map(_.name) == Vector("b"))
+  }
+  test("find_all by attr matches any tag name") {
+    val tags = TagScanner.scan("<input type=\"submit\"><button type=\"submit\"><div type=\"submit\">")
+    assert(TagScanner.findAllByAttr(tags, "type", "submit").size == 3)
+  }
+}
+
+class HttpFeatureSpec extends AnyFunSuite {
+  val cfg = ExtractConfig(asOfEpochSeconds = 1700000000L,
+    titleScorer = new TitleScorer { def score(t: Seq[String]): Double = t.size.toDouble })
+
+  val htmlLines = Vector(
+    "<html>",
+    "<head><title> My Title </title>",
+    "<meta http-equiv=\"Refresh\" content=\"5; url=http://other.com/\">",
+    "<link href=\"http://cdn.ext.com/a.css\">",
+    "<link href=\"/local.css\">",
+    "</head>",
+    "<body>",
+    "<!-- a comment line -->",
+    "<iframe src=\"http://x.com/f\"></iframe>",
+    "<form name=\"f1\" id=\"g\" class=\"cls1 cls2\"></form>",
+    "<input type=\"submit\">",
+    "<a href=\"http://ext1.com/1\">1</a>",
+    "<a href=\"http://ext1.com/2\">2</a>",
+    "<a href=\"http://e.com/in\">in</a>",
+    "<a href=\"#\">null</a>",
+    "<a href=\"javascript:void(0)\">null2</a>",
+    "<img src=\"http://img.ext.com/i.png\">",
+    "<script src=\"http://js.ext.com/j.js\"></script>",
+    " <script>",
+    "var x = document.getElementById(\"g\");",
+    " </script>")
+  val block = htmlLines.mkString("\n") + "\n"
+
+  test("striped html drops whole-line comments") {
+    val striped = HttpFeatures.stripedHtmlStr(block)
+    assert(striped.split("\n", -1).length == 20)
+    assert(!striped.contains("comment line"))
+  }
+
+  test("tag-block row counting with the >0 quirks") {
+    val striped = HttpFeatures.stripedHtmlStr(block)
+    assert(HttpFeatures.calTagBlockRows(striped, "script") == 4) // 1 single-line + 3-row block
+    assert(HttpFeatures.calTagBlockRows(striped, "style") == 0)
+    // tag at column 0 is invisible (row.find(tag) > 0)
+    assert(HttpFeatures.calTagBlockRows("script at zero", "script") == 0)
+  }
+
+  test("script_block slice quirk: late blocks yield no rows") {
+    val sb = HttpFeatures.calTagBlock(block, "script")
+    assert(sb == Vector("<script src=\"http://js.ext.com/j.js\"></script>"))
+  }
+
+  test("full 16-feature http vector") {
+    val v = HttpFeatures.extract(Seq(block), "http://e.com/\n", cfg)
+    val striped = HttpFeatures.stripedHtmlStr(block)
+    val expected = Vector(
+      Py.byteLen(striped) / 1024.0, // get_kbytes
+      1.0, // is_frame (iframe)
+      1.0, // is_meta_redirect
+      0.0, // is_meta_base64_redirect
+      1.0, // is_form (form tag)
+      0.0, // is_input_submit (Tag.tag quirk)
+      0.0, // is_button_submit
+      0.5, // script rate: js.ext.com 1 of 2 script tags
+      4.0 / 20.0, // script_block_rate
+      0.0, // style_block_rate
+      0.4, // external a: ext1.com 2 of 5
+      0.4, // null a: '#' + void( → 2 of 5
+      0.5, // link: cdn.ext.com 1 of 2
+      1.0, // img: img.ext.com 1 of 1
+      2.0, // title feature: tokens [my, title] → stub scorer counts
+      0.0) // form_in_javascript: getElementById row lost to slice quirk
+    assert(v.size == 16)
+    for (i <- v.indices) assert(math.abs(v(i) - expected(i)) < 1e-12, s"feature $i: ${v(i)} != ${expected(i)}")
+  }
+
+  test("base64 meta redirect flips features 2/3") {
+    val b = "<meta http-equiv=\"refresh\" content=\"0; url=data:text/html;base64,AAAA\">\n"
+    val v = HttpFeatures.extract(Seq(b), "http://e.com/\n", cfg)
+    assert(v(2) == 0.0 && v(3) == 1.0)
+  }
+
+  test("form_in_javascript positive via early script block") {
+    val b = Vector(
+      "<x>",
+      " <script>",
+      "var a=document.getElementsByTagName(\"form\");",
+      " </script>").mkString("\n") + "\n"
+    assert(HttpFeatures.formInJavascript(HttpFeatures.buildState(b)))
+    val v = HttpFeatures.extract(Seq(b), "http://e.com/\n", cfg)
+    assert(v(15) == 1.0)
+  }
+
+  test("document.write form detection (first-line-only quirk)") {
+    val b = "<x>\n<script>document.write(\"<form name=q>\")</script>\n"
+    val st = HttpFeatures.buildState(b)
+    assert(HttpFeatures.formInJavascriptWrite(st))
+    val v = HttpFeatures.extract(Seq(b), "http://e.com/\n", cfg)
+    assert(v(4) == 1.0) // is_form via script write
+  }
+
+  test("multi-block merge accumulates lists and counters") {
+    val b2 = "<a href=\"http://ext1.com/3\">3</a>\n"
+    val v = HttpFeatures.extract(Seq(block, b2), "http://e.com/\n", cfg)
+    // a tags: 6 total, ext1.com now 3 → 0.5
+    assert(math.abs(v(10) - 0.5) < 1e-12)
+    // bytes merged
+    val exp = (Py.byteLen(HttpFeatures.stripedHtmlStr(block)) +
+      Py.byteLen(HttpFeatures.stripedHtmlStr(b2))) / 1024.0
+    assert(math.abs(v(0) - exp) < 1e-12)
+  }
+
+  test("empty blocks zero-fill") {
+    assert(HttpFeatures.extract(Nil, "http://e.com/\n", cfg) == Vector.fill(16)(0.0))
+  }
+}
+
+class EndToEndFeatureSpec extends AnyFunSuite {
+  test("render → split → 30-feature vector") {
+    val content = "<html>\n<title>Verify Your Account</title>\n<form name=\"login\"></form>\n</html>"
+    val hop = HeaderHop("http://e.com/a", 11, 200, "OK", Seq("Content-Type" -> "text/html"))
+    val net = NetInfo(
+      "\tserial = 2024010101", "Name:\te.com\nAddress: 1.2.3.4",
+      "e.com has address 1.2.3.4", "Domain Name: E.COM",
+      hop, Nil, 0.5)
+    val text = SampleRender.render("http://e.com/a", content, net)
+    val cfg = ExtractConfig(java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond)
+    val v = ExtractorSet5.extract(text, cfg)
+    assert(v.length == 30)
+    assert(v(0) == 1.0) // is_http_connection
+    assert(v(2) == 1.0) // dots(e.com) = 1
+    assert(v(9) == 1.0) // is_form
+    assert(v(21) == 0.0) // header is_redirect (200)
+    assert(v(22) == 1.0 && v(23) == 0.0) // host ipv4/ipv6
+    assert(v(24) == 0.0) // is_alias (no canonical line)
+    assert(v(25) == 0.0) // is_weird_serial (serial present quirk)
+    assert(v(26) == 60.0) // day age
+    assert(v(27) == 1.0) // whois ok
+    assert(v(28) == 0.5) // timer
+    assert(v(29) == 0.0) // no cycling block
+  }
+}
