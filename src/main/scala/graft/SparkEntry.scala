@@ -1,13 +1,524 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.features.{ExtractConfig, ExtractorSet5}
+import graft.fixtures.{Fixtures, NetSynth}
+import graft.jobs.{CrawlWave, Synth}
+import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.parse.{CharsetDecode, SampleRender}
+import graft.store.SnapshotTable
+import graft.tfidf.{Elm, TfIdf, Tokenize}
+import graft.urls.Canonicalize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7 + the builder prompt): one `queries`
+  * entry per implemented operator, with DuckDB oracle SQL over the SAME
+  * parquet tables wherever the op is SQL-expressible.
+  *
+  * Oracle discipline:
+  *  - the crawl-input URL space is synthesized from `orders` in the
+  *    shared Spark/DuckDB dialect ([[Synth.seedsSql]]) so both engines
+  *    derive identical inputs;
+  *  - float-derived outputs are emitted as integer micro-units
+  *    (`cast(round(x*1e6, 0) as bigint)`) — DuckDB's `round(x, n)`
+  *    yields DECIMAL and its double→int casts round instead of
+  *    truncate, so raw doubles/naked casts are never compared;
+  *  - queries exercising pure-Scala reference semantics (canonicalizers,
+  *    politeness windows via the live engine) are cross-checked against
+  *    INDEPENDENT SQL re-implementations in the oracle — not the same
+  *    code path;
+  *  - non-SQL-expressible ops (MinHash/SimHash/LSH, rendering,
+  *    feature extraction, winnowing, ELM) are rows-only entries, each
+  *    property-tested in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // wave-period for politeness schedule checks (ms)
+  private val WavePeriodMs = 60000L
+
+  private def reg(s: SparkSession, dir: String): Unit =
+    Synth.views(s, dir, Seq("orders", "documents", "embeddings"))
+
+  // ----------------------------------------------------------- shared CTEs
+
+  private def withSeeds(body: String): String =
+    s"WITH seeds AS (\n${Synth.seedsSql}\n),\n$body"
+
+  private val fetchableCte =
+    s"fetchable AS (SELECT seq, url FROM seeds WHERE ${Synth.fetchableWhere})"
+
+  private val dedupCte =
+    "deduped AS (SELECT url, min(seq) AS seq FROM fetchable GROUP BY url)"
+
+  /** Crawler-domain canonicalization chain (spider.py:45-60) over
+    * `deduped` — independent SQL replica of `Canonicalize.crawlerDomain`. */
+  private val hostedCte =
+    """h0 AS (SELECT seq, url, substr(url, instr(url, '//') + 2) AS d0 FROM deduped),
+      |h1 AS (SELECT seq, url, CASE WHEN instr(d0, '/') > 0 THEN substr(d0, 1, instr(d0, '/') - 1)
+      |                             WHEN instr(d0, '?') > 0 THEN substr(d0, 1, instr(d0, '?') - 1)
+      |                             ELSE d0 END AS d1 FROM h0),
+      |h2 AS (SELECT seq, url, CASE WHEN instr(d1, '@') > 0 THEN substr(d1, instr(d1, '@') + 1) ELSE d1 END AS d2 FROM h1),
+      |hosted AS (SELECT seq, url, CASE WHEN instr(d2, ':') > 0 THEN regexp_replace(d2, ':[^:]*$', '') ELSE d2 END AS host FROM h2)""".stripMargin
+
+  /** Politeness token-bucket schedule (SURVEY.md §2.5) as pure window SQL. */
+  private val scheduledCte =
+    s"""ranked AS (SELECT seq, url, host,
+       |  cast(row_number() OVER (PARTITION BY host ORDER BY seq) as int) AS host_rank,
+       |  greatest(cast(1 as bigint), cast(floor($WavePeriodMs / ((length(host) % 4 + 1) * 100)) as bigint)) AS tokens
+       |  FROM hosted),
+       |scheduled AS (SELECT seq, url, host, host_rank, tokens,
+       |  cast(floor((host_rank - 1.0) / tokens) as int) AS wave FROM ranked)""".stripMargin
+
+  /** Extractor-domain chain (`extractor/__init__.py:83-105`) over a
+    * relation `hrefs(seq, href)` — NULL marks the no-`//` → "." case. */
+  private val extractorDomainCtes =
+    """e0 AS (SELECT seq, href, CASE WHEN instr(href, '//') = 0 THEN NULL
+      |                              ELSE substr(href, instr(href, '//') + 2) END AS d0 FROM hrefs),
+      |e1 AS (SELECT seq, href, CASE WHEN d0 IS NULL THEN NULL
+      |                              WHEN instr(d0, '/') > 1 THEN substr(d0, 1, instr(d0, '/') - 1)
+      |                              WHEN instr(d0, '?') > 1 THEN substr(d0, 1, instr(d0, '?') - 1)
+      |                              ELSE d0 END AS d1 FROM e0),
+      |e2 AS (SELECT seq, href, CASE WHEN d1 IS NULL THEN NULL
+      |                              WHEN instr(substr(d1, 2), ':') > 0 THEN regexp_replace(d1, ':[^:]*$', '')
+      |                              ELSE d1 END AS d2 FROM e1),
+      |e3 AS (SELECT seq, href, CASE WHEN d2 IS NULL THEN NULL
+      |                              WHEN instr(d2, '@') > 1 THEN substr(d2, instr(d2, '@') + 1)
+      |                              ELSE d2 END AS d3 FROM e2),
+      |edom AS (SELECT seq, href, CASE WHEN d3 IS NULL THEN '.'
+      |                                WHEN d3 LIKE 'www.%' THEN substr(d3, 5)
+      |                                ELSE d3 END AS domain FROM e3)""".stripMargin
+
+  // ----------------------------------------------------------- engine memo
+
+  /** One full crawl-engine run per sf dir (snapshot root memoized so the
+    * wave/seen queries share it). */
+  private val engineRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def engineStore(s: SparkSession, dir: String): SnapshotTable = {
+    val root = engineRoots.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+      val pages = Fixtures.pages(s, dir).toDF.cache()
+      val store = new SnapshotTable(s, tmp)
+      val cw = new CrawlWave(s, pages, store, CrawlWave.Config(
+        wavePeriodMs = WavePeriodMs,
+        partitions = math.max(s.sparkContext.defaultParallelism, 4)))
+      cw.runAll(Fixtures.seeds(s, dir))
+      pages.unpersist()
+      tmp
+    })
+    new SnapshotTable(s, root)
+  }
+
+  // ----------------------------------------------------------- UDF helpers
+
+  private val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
+  private val extractorDomainUdf = udf((u: String) => Canonicalize.extractorDomain(u))
+
+  // ----------------------------------------------------------- query table
+
+  /** name → (spark fn, optional DuckDB oracle). */
+  private case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Shared-dialect SQL: Spark runs the text, DuckDB runs Synth.duck(text). */
+  private def shared(text: String): Q =
+    Q((s, dir) => { reg(s, dir); s.sql(text) }, Some(Synth.duck(text)))
+
+  /** Split-dialect SQL (explode/unnest style differences). */
+  private def split2(sparkText: String, duckText: String): Q =
+    Q((s, dir) => { reg(s, dir); s.sql(sparkText) }, Some(duckText))
+
+  private def rowsOnly(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
+
+  private lazy val registry: Vector[(String, Q)] = Vector(
+
+    // ---------------- S1/S2/S3/S7: seed scan, dispatch, filters, errors
+    "s1_seed_scan" -> shared(withSeeds(
+      "t AS (SELECT 1) SELECT seq, url FROM seeds")),
+
+    "s2_s3_fetchable" -> shared(withSeeds(
+      s"$fetchableCte SELECT seq, url FROM fetchable")),
+
+    "s7_error_channel" -> shared(withSeeds(
+      s"""t AS (SELECT 1)
+         |SELECT seq, url,
+         |  CASE WHEN url NOT LIKE 'http%' THEN 'skip this file(scheme)'
+         |       ELSE 'skip this file' END AS err
+         |FROM seeds WHERE NOT (${Synth.fetchableWhere})""".stripMargin)),
+
+    // ---------------- §1.3: both canonicalizers, Scala vs independent SQL
+    "p_crawler_domain" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        s.sql(withSeeds(s"$fetchableCte, $dedupCte SELECT seq, url FROM deduped"))
+          .withColumn("host", crawlerDomainUdf(col("url")))
+      },
+      Some(Synth.duck(withSeeds(
+        s"$fetchableCte, $dedupCte, $hostedCte SELECT seq, url, host FROM hosted")))),
+
+    "p_extractor_domain" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        s.sql(withSeeds(
+          """t AS (SELECT 1)
+            |SELECT seq, CASE WHEN seq % 3 = 0 THEN substr(url, instr(url, '//') + 2)
+            |                 ELSE url END AS href FROM seeds""".stripMargin))
+          .withColumn("domain", extractorDomainUdf(col("href")))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""hrefs AS (SELECT seq, CASE WHEN seq % 3 = 0 THEN substr(url, instr(url, '//') + 2)
+           |                          ELSE url END AS href FROM seeds),
+           |$extractorDomainCtes
+           |SELECT seq, href, domain FROM edom""".stripMargin)))),
+
+    // ---------------- dedup / seen-set (J: anti-join family)
+    "j_dedup_first_seen" -> shared(withSeeds(
+      s"""$fetchableCte
+         |SELECT url, min(seq) AS first_seq, count(*) AS occurrences
+         |FROM fetchable GROUP BY url""".stripMargin)),
+
+    "seen_hash_set" -> shared(withSeeds(
+      s"""$fetchableCte
+         |SELECT count(DISTINCT md5(url)) AS seen_count, count(*) AS offered
+         |FROM fetchable""".stripMargin)),
+
+    // ---------------- politeness schedule + crawl order (window family)
+    "w_politeness_schedule" -> shared(withSeeds(
+      s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
+         |SELECT seq, url, host, host_rank, tokens, wave FROM scheduled""".stripMargin)),
+
+    "w_crawl_order" -> shared(withSeeds(
+      s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
+         |SELECT seq, url, wave,
+         |  cast(row_number() OVER (ORDER BY wave, seq) as bigint) AS position
+         |FROM scheduled""".stripMargin)),
+
+    // ---------------- the LIVE engine vs the static SQL schedule
+    "crawl_engine_waves" -> Q(
+      (s, dir) => engineStore(s, dir).readLatest("frontier").get
+        .where(col("state").isin("done", "error"))
+        .select(col("seq"), col("url"), col("wave").cast("int").as("wave")),
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
+           |SELECT seq, url, wave FROM scheduled""".stripMargin)))),
+
+    "crawl_engine_seen" -> Q(
+      (s, dir) => engineStore(s, dir).readLatest("seen").get
+        .agg(count(lit(1)).as("seen_count")),
+      Some(Synth.duck(withSeeds(
+        s"$fetchableCte SELECT count(DISTINCT url) AS seen_count FROM fetchable")))),
+
+    // ---------------- skew plan (A: salting)
+    "skew_salt_plan" -> shared(withSeeds(
+      s"""$fetchableCte, $dedupCte, $hostedCte
+         |SELECT host, count(*) AS cnt,
+         |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
+         |FROM hosted GROUP BY host""".stripMargin)),
+
+    // ---------------- URL features (§2.6), Scala vs independent SQL
+    "url_features" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val uf = udf((url: String) => {
+          val v = graft.features.UrlFeatures.extract(url)
+          (v(0).toInt, v(1).toInt, v(2).toInt, v(3).toInt, v(4).toInt)
+        })
+        s.sql(withSeeds(s"$fetchableCte SELECT seq, url FROM fetchable"))
+          .withColumn("t", uf(col("url")))
+          .select(col("seq"), col("url"),
+            col("t._1").as("is_http_connection"), col("t._2").as("is_ip_address"),
+            col("t._3").as("dots"), col("t._4").as("is_special_words"),
+            col("t._5").as("is_hexadecimal"))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte,
+           |hrefs AS (SELECT seq, url AS href FROM fetchable),
+           |$extractorDomainCtes,
+           |base AS (SELECT e.seq, e.href AS url, e.domain,
+           |  CASE WHEN instr(e.href, '?') > 1 THEN substr(e.href, 1, instr(e.href, '?') - 1) ELSE e.href END AS wo
+           |  FROM edom e)
+           |SELECT seq, url,
+           |  CASE WHEN substr(url, 1, 5) <> 'https' THEN 1 ELSE 0 END AS is_http_connection,
+           |  CASE WHEN regexp_full_match(domain, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}') THEN 1 ELSE 0 END AS is_ip_address,
+           |  cast(length(domain) - length(replace(domain, '.', '')) as int) AS dots,
+           |  CASE WHEN instr(wo, '@') > 0 OR instr(wo, '-') > 0 OR instr(wo, '*') > 0 OR instr(wo, '|') > 0
+           |       THEN 1 ELSE 0 END AS is_special_words,
+           |  CASE WHEN instr(domain, '%') > 0 THEN 1 ELSE 0 END AS is_hexadecimal
+           |FROM base""".stripMargin)))),
+
+    // ---------------- full extraction + byte identity (rows-only)
+    "extract_features_full" -> rowsOnly((s, dir) => {
+      import s.implicits._
+      Fixtures.pages(s, dir)
+        .filter((p: graft.model.PageRow) => p.text != null)
+        .map { p =>
+          val asOf = p.warc_ts.toInstant.getEpochSecond
+          (p.url, ExtractorSet5.extract(p.text, ExtractConfig(asOf)).toSeq)
+        }.toDF("url", "features")
+    }),
+
+    "byte_identity" -> rowsOnly((s, dir) => {
+      import s.implicits._
+      Fixtures.pages(s, dir).map { p =>
+        val content = CharsetDecode.decode(p.html, Some("utf-8"))
+        val synth = NetSynth.forUrl(p.url)
+        val rendered =
+          if (p.text == null) null
+          else SampleRender.render(p.url, content, synth.net)
+        (p.url, p.text != null,
+          p.text != null && rendered == p.text,
+          if (p.text != null) p.text.length.toLong else 0L)
+      }.toDF("url", "alive", "render_match", "text_len")
+    }),
+
+    // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
+    "tok_terms" -> split2(
+      """SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+        |WHERE term <> ''""".stripMargin,
+      """SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+        |WHERE term <> ''""".stripMargin),
+
+    "term_df" -> split2(
+      """SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+        |  WHERE term <> '') u
+        |GROUP BY term""".stripMargin,
+      """SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+        |  WHERE term <> '') u
+        |GROUP BY term""".stripMargin),
+
+    "tfidf_micro" -> {
+      def text(tok: String) =
+        s"""WITH tok AS ($tok),
+           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
+           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
+           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id)
+           |SELECT v.doc_id, v.term,
+           |  cast(round(v.idf / m.nrm * 1000000, 0) as bigint) AS tfidf_micro
+           |FROM v JOIN nrm m ON v.doc_id = m.doc_id""".stripMargin
+      val sparkTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      val duckTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      split2(text(sparkTok), text(duckTok))
+    },
+
+    "term_select" -> {
+      def text(tok: String) =
+        s"""WITH tok AS ($tok),
+           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |idf AS (SELECT term, df, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
+           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
+           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
+           |mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)
+           |SELECT x.term, d.df FROM mx x JOIN df d ON x.term = d.term WHERE x.mx >= 0.5""".stripMargin
+      val sparkTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      val duckTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      split2(text(sparkTok), text(duckTok))
+    },
+
+    // J1: title terms × vocabulary membership (broadcast join shape)
+    "vocab_hits" -> {
+      def text(tok: String) =
+        s"""WITH tok AS ($tok),
+           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
+           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
+           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
+           |sel AS (SELECT v.term FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term HAVING max(v.idf / m.nrm) >= 0.5)
+           |SELECT t.doc_id, count(*) AS vocab_hits FROM tok t JOIN sel s ON t.term = s.term GROUP BY t.doc_id""".stripMargin
+      val sparkTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      val duckTok =
+        """SELECT DISTINCT doc_id, term FROM (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+          |WHERE term <> ''""".stripMargin
+      split2(text(sparkTok), text(duckTok))
+    },
+
+    // ---------------- dedup family (pipeline ops)
+    "dedup_exact" -> shared(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    "dedup_ngram_jaccard" -> split2(
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+        |      FROM sub LATERAL VIEW explode(sequence(1, greatest(length(text) - 4, 1))) sq AS i),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  cast(round(inter * 1000000.0 / (sa.sz + sb.sz - inter), 0) as bigint) AS jaccard_micro
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin,
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |x AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i FROM sub),
+        |g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM x),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  cast(round(inter * 1000000.0 / (sa.sz + sb.sz - inter), 0) as bigint) AS jaccard_micro
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
+
+    "dedup_minhash_lsh" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      Dedup.minhashLshPairs(s.table("documents"), threshold = 0.3)
+        .select(col("a_id"), col("b_id"),
+          (round(col("est_jaccard") * 1e6, 0)).cast("long").as("est_jaccard_micro"))
+    }),
+
+    "dedup_simhash" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      Dedup.simhashPairs(s.table("documents"), maxHamming = 16)
+    }),
+
+    // ---------------- ANN family
+    "ann_brute_topk" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val e = s.table("embeddings")
+        Ann.bruteForceTopK(e, e.where(col("vec_id") % 100 === 0), k = 10)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> cast(x as double)) AS qv
+          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |c AS (SELECT vec_id AS cand_id, list_transform(embedding, x -> cast(x as double)) AS cv FROM embeddings),
+          |sim AS (SELECT query_id, cand_id, list_cosine_similarity(qv, cv) AS cosine
+          |        FROM q, c WHERE query_id <> cand_id),
+          |r AS (SELECT query_id, cand_id, cosine,
+          |        cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) as int) AS rank
+          |      FROM sim)
+          |SELECT query_id, cand_id, rank, cast(round(cosine * 1000000, 0) as bigint) AS cosine_micro
+          |FROM r WHERE rank <= 10""".stripMargin)),
+
+    "ann_lsh_topk" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      val e = s.table("embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") % 100 === 0), k = 10, probes = 2)
+    }),
+
+    // ---------------- text analysis family
+    "lang_id" -> Q(
+      (s, dir) => { reg(s, dir); TextAnalysis.langId(s.table("documents")) },
+      Some {
+        def occ(n: String) =
+          s"(length(p) - length(replace(p, '$n', ''))) / ${n.length}"
+        val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          ms.map(occ).mkString("cast(", " + ", s" as bigint) AS score_$lang")
+        }.mkString(",\n  ")
+        val langNames = TextAnalysis.langMarkers.map(_._1)
+        val pred = langNames.foldRight("'und'") { (lang, els) =>
+          val cond = langNames.filter(_ != lang).map { o =>
+            val cmp = if (langNames.indexOf(o) < langNames.indexOf(lang)) ">" else ">="
+            s"score_$lang $cmp score_$o"
+          }.mkString(" AND ")
+          s"CASE WHEN score_$lang > 0 AND $cond THEN '$lang' ELSE $els END"
+        }
+        s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+           |s AS (SELECT doc_id,
+           |  $scores
+           |FROM p)
+           |SELECT doc_id, score_en, score_de, score_fr, score_es,
+           |  $pred AS lang_pred
+           |FROM s""".stripMargin
+      }),
+
+    "quality" -> Q(
+      (s, dir) => { reg(s, dir); TextAnalysis.quality(s.table("documents")) },
+      Some {
+        val stops = Seq(" the ", " a ", " and ", " of ", " to ")
+          .map(n => s"(length(p) - length(replace(p, '$n', ''))) / ${n.length}")
+          .mkString("(", " + ", ")")
+        s"""WITH b AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+           |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS words
+           |  FROM documents)
+           |SELECT doc_id,
+           |  cast(length(text) as bigint) AS n_chars_q,
+           |  cast(words as bigint) AS n_words,
+           |  cast(round(length(replace(text, ' ', '')) * 1000000.0 / greatest(words, 1), 0) as bigint) AS mean_word_len_micro,
+           |  cast(round($stops * 1000000.0 / greatest(words, 1), 0) as bigint) AS stop_ratio_micro,
+           |  cast(round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1000000.0 / greatest(length(text), 1), 0) as bigint) AS alpha_ratio_micro
+           |FROM b""".stripMargin
+      }),
+
+    "token_counts" -> Q(
+      (s, dir) => { reg(s, dir); TextAnalysis.tokenCounts(s.table("documents")) },
+      Some(
+        """SELECT doc_id,
+          |  cast(len(list_filter(string_split(text, ' '), w -> w <> '')) as bigint) AS ws_tokens,
+          |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint) AS bpe_tokens
+          |FROM documents""".stripMargin)),
+
+    "fingerprints" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.fingerprints(s.table("documents"))
+    }),
+
+    // ---------------- multimodal plumbing (stubbed codec, real plumbing)
+    "multimodal_decode" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      Multimodal.decodeAll(Multimodal.synthAssets(s.table("documents")))
+        .drop("sampled_frames", "feature") // keep parquet-simple columns
+    }),
+
+    // ---------------- ELM title scoring (§2.9, deterministic seed)
+    "elm_title_score" -> rowsOnly((s, dir) => {
+      import s.implicits._
+      reg(s, dir)
+      val docs = s.table("documents")
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      // "titles" = first 8 tokens of each doc; labels = lang == 'en'
+      val titles = docs.map(d => Tokenize.terms(d._2).take(8))
+      val m = TfIdf.fit(titles)
+      val selected = TfIdf.selectTerms(m, 0.5)
+      val (x, _) = TfIdf.elmTrainMatrix(m, selected, 0.5)
+      val y = docs.map(d => if (d._3 == "en") 1.0 else 0.0).toArray
+      val model = Elm.train(x, y, nHidden = 20, seed = 42L)
+      val scored = docs.zip(x).map { case ((id, _, _), xi) =>
+        (id, model.predict(xi), math.rint(model.decision(xi) * 1e6).toLong)
+      }
+      s.createDataset(scored).toDF("doc_id", "elm_pred", "elm_decision_micro")
+    })
+  )
+
+  // ------------------------------------------------------------- contract
+
+  /** Flagship: one full crawl (frontier → politeness waves → Bloom seen
+    * set → fetch join → decode/liveness/render/extract → snapshots) on
+    * sf0.001, returning the extracted samples. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    engineStore(spark, dir).readLatest("samples").get
+      .select("seq", "url", "wave", "render_match")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, Q(_, Some(o))) => n -> o }.toMap
 }

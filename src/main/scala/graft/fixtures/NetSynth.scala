@@ -1,0 +1,168 @@
+package graft.fixtures
+
+import graft.model.{HeaderHop, NetInfo}
+import graft.urls.Canonicalize
+
+/** Deterministic synthesis of everything the reference crawler obtains
+  * from the network/subprocesses, as a pure function of the URL — the
+  * sandbox stand-in for `spider.py:62-93` (nslookup/host/whois) and the
+  * HTTP response chain (SURVEY.md §2.1 S4/S5: "deterministic synthesized
+  * block text derived from the input row"). Both the fixture generator
+  * (which writes the `text` golden into the pages table) and the engine
+  * (which re-renders and must match byte-for-byte) call this one
+  * function; the byte-identity test then covers the whole
+  * render/split/extract pipeline.
+  *
+  * Output formats mirror the real tool output shapes the extractor
+  * parsers consume (`extractors5/nslookup_feature.py:11-59`,
+  * `host_feature.py:10-24`, `whois_feature.py:5-44`,
+  * `header_feature.py:9-49`).
+  */
+object NetSynth {
+
+  final case class Synth(net: NetInfo, content: String, contentType: String,
+      status: Int, lang: String)
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Stable 64-bit hash of a URL (independent of JVM String.hashCode
+    * width concerns — explicit fold + finalizer). */
+  def urlSeed(url: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < url.length) { h = 31 * h + url.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  private def pos(h: Long, mod: Int): Int = java.lang.Math.floorMod(h, mod.toLong).toInt
+
+  /** Deterministic fetch outcome class of a URL:
+    * 0 = page absent from the pages table (fetch miss → error row). */
+  def isFetchMiss(url: String): Boolean = pos(urlSeed(url), 41) == 0
+
+  val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
+
+  def forUrl(url: String): Synth = {
+    val h = urlSeed(url)
+    val domain = Canonicalize.crawlerDomain(url)
+    val hm = pos(h, 100)
+
+    // ---- status / content-type / title → liveness branch mix
+    val status =
+      if (hm >= 5 && hm < 8) 404
+      else if (hm == 9) 503
+      else if (pos(h, 13) == 1) 301 // never final: requests follows; keep 200 final
+      else 200
+    val finalStatus = if (status == 301) 200 else status
+    val contentType =
+      if (hm == 8) "application/pdf"
+      else if (hm == 10) "image/png"
+      else "text/html; charset=utf-8"
+    val title =
+      if (hm < 3) "404 Not Found"
+      else if (hm == 3) "Account suspended"
+      else if (hm == 4) "这个网站可出售"
+      else s"Welcome to $domain page ${pos(h, 9)}"
+
+    // ---- page body: exercises every extractor branch deterministically
+    val sb = new StringBuilder
+    sb ++= "<html><head>\n"
+    sb ++= s"<title>$title</title>\n"
+    if (pos(h, 11) == 0)
+      sb ++= "<meta http-equiv=\"refresh\" content=\"0; url=http://next.example.com/\">\n"
+    if (pos(h, 31) == 0)
+      sb ++= "<meta http-equiv=\"refresh\" content=\"0; url=data:text/html;base64,PGh0bWw+\">\n"
+    sb ++= s"""<link rel="stylesheet" href="http://cdn${pos(h, 5)}.example.net/s.css">\n"""
+    sb ++= "<style>\nbody { color: black; }\n.hidden { display: none; }\n</style>\n"
+    sb ++= "</head><body>\n"
+    if (pos(h, 7) == 0) sb ++= "<iframe src=\"http://frames.example.net/ad\"></iframe>\n"
+    if (pos(h, 5) == 0) {
+      sb ++= s"""<form id="login${pos(h, 4)}" action="http://$domain/login" method="post">\n"""
+      sb ++= "<input type=\"text\" name=\"user\">\n<input type=\"submit\" value=\"Go\">\n"
+      sb ++= "<button type=\"submit\">Send</button>\n</form>\n"
+    }
+    var i = 0
+    val nLinks = 2 + pos(h, 4)
+    while (i < nLinks) {
+      val href = pos(h + i, 5) match {
+        case 0 => s"http://$domain/page$i.html"
+        case 1 => s"http://ext${pos(h + i, 7)}.example.org/x$i"
+        case 2 => s"/relative/$i"
+        case 3 => "#"
+        case _ => "javascript:void(0);"
+      }
+      sb ++= s"""<a href="$href">link $i</a>\n"""
+      i += 1
+    }
+    sb ++= s"""<img src="http://img.example.net/i${pos(h, 6)}.gif">\n"""
+    sb ++= s"""<img src="local${pos(h, 3)}.png">\n"""
+    sb ++= "<!-- a comment-only line -->\n"
+    sb ++= s"""<script src="http://js.example.net/lib${pos(h, 4)}.js"></script>\n"""
+    sb ++= "<script>\n"
+    if (pos(h, 5) == 0)
+      sb ++= s"var f = document.getElementById(\"login${pos(h, 4)}\");\n"
+    if (pos(h, 6) == 0) sb ++= "document.write('<form name=\"x\">');\n"
+    sb ++= "var t = 1;\n</script>\n"
+    sb ++= "</body></html>\n"
+    val content = sb.result()
+
+    // ---- DNS / host / whois stdout
+    val serialKind = pos(h, 4)
+    val serial = serialKind match {
+      case 0 =>
+        val y = 2010 + pos(h, 8); val mo = 1 + pos(h >> 8, 12); val d = 1 + pos(h >> 16, 28)
+        f"$y%04d$mo%02d$d%02d${pos(h >> 24, 100)}%02d"
+      case 1 => (1200000000L + java.lang.Math.floorMod(h, 200000000L)).toString
+      case 2 => "" // no serial row
+      case _ => "deadbeef"
+    }
+    val soaSb = new StringBuilder
+    soaSb ++= "Server:\t\t8.8.8.8\nAddress:\t8.8.8.8#53\n\nNon-authoritative answer:\n"
+    soaSb ++= s"$domain\n\torigin = ns1.$domain\n\tmail addr = hostmaster.$domain\n"
+    if (serial.nonEmpty) soaSb ++= s"\tserial = $serial\n"
+    soaSb ++= "\trefresh = 3600\n"
+    val nsSb = new StringBuilder
+    nsSb ++= "Server:\t\t8.8.8.8\nAddress:\t8.8.8.8#53\n\nNon-authoritative answer:\n"
+    if (pos(h, 3) == 0) nsSb ++= s"www.$domain canonical name = $domain.\n"
+    nsSb ++= s"Name:\t$domain\nAddress: 93.184.${pos(h, 250)}.${pos(h >> 12, 250)}\n"
+
+    val hostOut = {
+      val b = new StringBuilder
+      b ++= s"$domain has address 93.184.${pos(h, 250)}.${pos(h >> 12, 250)}"
+      if (pos(h, 2) == 0) b ++= s"\n$domain has address 93.184.${pos(h >> 4, 250)}.${pos(h >> 20, 250)}"
+      if (pos(h, 6) < 2) b ++= s"\n$domain has IPv6 address 2606:2800:220:1:248:1893:25c8:${pos(h, 9999)}"
+      b.result()
+    }
+    val whoisOut =
+      if (pos(h, 5) == 0) s"No match for domain \"${domain.toUpperCase}\".\n>>> Last update of whois database <<<"
+      else s"Domain Name: ${domain.toUpperCase}\nRegistrar: Example Registrar, Inc.\nCreation Date: 201${pos(h, 9)}-0${1 + pos(h >> 3, 8)}-15T00:00:00Z"
+
+    // ---- response chain
+    val baseHeaders = Vector(
+      "Content-Type" -> contentType,
+      "Server" -> s"nginx/1.${pos(h, 20)}",
+      "Content-Length" -> content.length.toString)
+    val finalHop = HeaderHop(url, 11, finalStatus,
+      if (finalStatus == 200) "OK" else if (finalStatus == 404) "Not Found" else "Service Unavailable",
+      baseHeaders)
+    val history: Seq[HeaderHop] =
+      if (pos(h, 26) == 0)
+        // redirect cycle: the final URL appears twice in history
+        Seq(HeaderHop(url, 11, 301, "Moved Permanently", Vector("Location" -> url)),
+            HeaderHop(url, 11, 301, "Moved Permanently", Vector("Location" -> url)))
+      else if (pos(h, 13) == 0)
+        Seq(HeaderHop(s"http://old.$domain/", 11, 301, "Moved Permanently",
+          Vector("Location" -> url)))
+      else Seq.empty
+
+    val timer = java.lang.Math.floorMod(h, 100000L) / 1000.0
+    val net = NetInfo(soaSb.result(), nsSb.result(), hostOut, whoisOut,
+      finalHop, history, timer)
+    Synth(net, content, contentType, finalStatus, langs(pos(h, langs.size)))
+  }
+}

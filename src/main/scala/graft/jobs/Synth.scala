@@ -1,0 +1,96 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthesis of the crawl-engine input space from the
+  * driver's parquet testdata — NO wall clock, NO randomness, NO external
+  * data. Every synthesized table is defined as a SQL expression written
+  * in the shared Spark/DuckDB dialect subset so the driver's DuckDB
+  * oracle can reproduce it bit-for-bit (`SparkEntry.oracleSql`).
+  *
+  * The URL population models the shapes found in the reference's seed
+  * corpora (`/root/reference/legitimate`, `/root/reference/phisher_website`
+  * — http/https mix, `www.` prefixes, userinfo `@`, `:port`, query
+  * strings, image-extension URLs that `spider.py:528-533` skips, `ftp:`
+  * rows that `spider.py:535` drops, duplicates, and deliberately hot
+  * hosts for skew) — synthesized here from `orders.o_orderkey` instead
+  * of shipping any external list.
+  */
+object Synth {
+
+  /** Shared-dialect seeds SQL: `seq BIGINT, url STRING` from `orders`.
+    *
+    * Row classes by `o_orderkey` residues:
+    *  - %7=0   → duplicate-heavy URLs keyed by `o_custkey % 100` (dedup tests)
+    *  - %19=0  → `ftp:` scheme (dropped by scheme dispatch, spider.py:535)
+    *  - %23∈{1,2,3} → image extensions (skipped, spider.py:528-533)
+    *  - %37=4  → IP-literal host (is_ip_address); %41=7 → dashed host
+    *  - %10<4  → two "hot" hosts (host-skew / politeness tests)
+    *  - %11=3  → `user@` userinfo; %13=5 → `:8080` port; %5=4 → query string
+    */
+  val seedsSql: String =
+    """SELECT o_orderkey AS seq,
+      |  CASE WHEN o_orderkey % 7 = 0
+      |       THEN 'https://dup.example.com/p/' || cast(o_custkey % 100 as string)
+      |       ELSE
+      |    CASE WHEN o_orderkey % 19 = 0 THEN 'ftp'
+      |         WHEN o_orderkey % 2 = 0 THEN 'http' ELSE 'https' END
+      |    || '://'
+      |    || CASE WHEN o_orderkey % 11 = 3 THEN 'user@' ELSE '' END
+      |    || CASE WHEN o_orderkey % 37 = 4 THEN '93.184.216.' || cast(o_orderkey % 250 as string)
+      |            WHEN o_orderkey % 41 = 7 THEN 'pay-pal' || cast(o_orderkey % 13 as string) || '.example.com'
+      |            WHEN o_orderkey % 10 < 4 THEN 'hot' || cast(o_orderkey % 2 as string) || '.example.com'
+      |            ELSE 'www.h' || cast(o_orderkey % 97 as string) || '.example.com' END
+      |    || CASE WHEN o_orderkey % 13 = 5 THEN ':8080' ELSE '' END
+      |    || '/p/' || cast(o_orderkey as string)
+      |    || CASE WHEN o_orderkey % 23 = 1 THEN '.jpg'
+      |            WHEN o_orderkey % 23 = 2 THEN '.png'
+      |            WHEN o_orderkey % 23 = 3 THEN '.ico' ELSE '' END
+      |    || CASE WHEN o_orderkey % 5 = 4 THEN '?q=' || cast(o_orderkey % 50 as string) ELSE '' END
+      |  END AS url
+      |FROM orders""".stripMargin
+
+  /** Scheme dispatch + image-extension skip (spider.py:526-536, S2+S3):
+    * shared-dialect WHERE over `seeds`. */
+  val fetchableWhere: String =
+    """(url LIKE 'http%')
+      | AND NOT (url LIKE '%.ico' OR url LIKE '%.jpg' OR url LIKE '%.png'
+      |       OR url LIKE '%.pdf' OR url LIKE '%.bmp' OR url LIKE '%.tiff')""".stripMargin
+
+  /** Crawler-domain canonicalization (spider.py:45-60) as shared-dialect
+    * SQL over a relation exposing `url` — the DuckDB-side independent
+    * re-implementation that cross-checks `Canonicalize.crawlerDomain`.
+    * Steps: substring after `//`, cut at first `/` else `?`, strip
+    * userinfo to first `@`, strip `:port` at last `:`. */
+  def crawlerDomainSql(urlCol: String): String = {
+    val d0 = s"substr($urlCol, instr($urlCol, '//') + 2)"
+    val d1 = s"""CASE WHEN instr($d0, '/') > 0 THEN substr($d0, 1, instr($d0, '/') - 1)
+                |     WHEN instr($d0, '?') > 0 THEN substr($d0, 1, instr($d0, '?') - 1)
+                |     ELSE $d0 END""".stripMargin
+    val d2 = s"CASE WHEN instr($d1, '@') > 0 THEN substr($d1, instr($d1, '@') + 1) ELSE $d1 END"
+    s"regexp_replace($d2, ':[^:]*$$', '')"
+  }
+
+  /** Per-host politeness delay in ms — deterministic from the host
+    * string alone so both dialects agree (stands in for a robots.txt
+    * `Crawl-delay`; the robots table itself is synthesized in
+    * [[graft.frontier.Politeness]]). */
+  def delayMsSql(hostCol: String): String =
+    s"(length($hostCol) % 4 + 1) * 100"
+
+  /** Convert the shared-dialect SQL to DuckDB: only the cast type name
+    * differs (Spark `string` ↔ DuckDB `varchar`). */
+  def duck(sql: String): String = sql.replace(" as string)", " as varchar)")
+
+  /** Register the parquet tables of one sf dir as temp views. */
+  def views(spark: SparkSession, sfDir: String, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  /** Seeds DataFrame for one sf dir. */
+  def seeds(spark: SparkSession, sfDir: String): DataFrame = {
+    views(spark, sfDir, Seq("orders"))
+    spark.sql(seedsSql)
+  }
+}

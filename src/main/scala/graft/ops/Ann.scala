@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`, the driver's `embeddings.parquet` shape).
+  *
+  * Two tiers, per the scale plan:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is small (a broadcast), so the "cross join" is a
+  *    broadcast nested loop over one pass of the corpus: at 100 TB this
+  *    is one full scan, no shuffle except the final per-query top-k
+  *    (tiny after the per-partition pre-top-k that Spark's window +
+  *    filter plan performs with AQE).
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus and queries are
+  *    bucketed by an `nBits`-bit signature; only same-bucket candidates
+  *    are scored. Hyperplanes are derived deterministically from
+  *    splitmix64, so results are reproducible with no stored model.
+  *    Multi-probe: queries are also matched at Hamming distance ≤ 1 to
+  *    recover near-boundary neighbours (`probes` > 1).
+  *
+  * Dot products use SQL higher-order functions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDF, stays inside WholeStageCodegen.
+  */
+object Ann {
+
+  /** Shared cosine expression over two double-array columns (left-to-right
+    * fold, matching DuckDB's `list_cosine_similarity` evaluation order so
+    * oracle comparisons are bit-stable). */
+  def cosineExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
+       |    * sqrt(aggregate($b, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin
+
+  /** Exact cosine top-k for each query vector. Queries are selected by
+    * the caller (small set → broadcast). Tie-break: cosine desc, then
+    * corpus id asc — fully deterministic. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(cosineExpr("qv", "cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        (round(col("cosine") * 1e6, 0)).cast("long").as("cosine_micro"))
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes: `nBits` planes of
+    * dimension `dim`, components in [-1, 1) from splitmix64. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        (mix64(seed ^ mix64(b.toLong << 32 | d.toLong)).toDouble / Long.MaxValue)
+      }
+    }
+
+  /** Sign-LSH signature of a vector under the shared hyperplanes. */
+  def signature(v: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0; var b = 0
+    while (b < planes.length) {
+      val p = planes(b); var dot = 0.0; var i = 0
+      while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed top-k: same output shape as [[bruteForceTopK]] but only
+    * candidates sharing a (multi-probed) signature bucket are scored.
+    * Recall is property-tested against brute force in `OpsSpec`. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      dim: Int = 64,
+      probes: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(nBits, dim))
+
+    def sigOf(df: DataFrame, id: String, vec: String, outId: String, outVec: String): DataFrame =
+      df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+        .map { case (i, v) => (i, v, signature(v, planes.value)) }
+        .toDF(outId, outVec, "sig")
+
+    val c = sigOf(corpus, idCol, vecCol, "cand_id", "cv")
+    val qSig = sigOf(queries, idCol, vecCol, "query_id", "qv")
+    // multi-probe: each query also probes buckets at Hamming distance 1
+    val probed =
+      if (probes <= 1) qSig
+      else qSig.withColumn("sig",
+        explode(expr(s"concat(array(sig), transform(sequence(0, ${nBits - 1}), b -> cast(sig ^ shiftleft(1, b) as int)))")))
+
+    broadcast(probed).join(c, Seq("sig"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(cosineExpr("qv", "cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        (round(col("cosine") * 1e6, 0)).cast("long").as("cosine_micro"))
+  }
+}

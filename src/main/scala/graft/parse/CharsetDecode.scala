@@ -1,0 +1,67 @@
+package graft.parse
+
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.ByteBuffer
+
+/** Charset resolution + decode ladder mirroring `_get_content`
+  * (`/root/reference/spider.py:426-497`, P4):
+  *
+  *  1. look for a `<meta ... charset=X>` declaration in the (ASCII-
+  *     decoded) head of the body; when present and different from the
+  *     transport charset, the meta charset wins (spider.py:469-494:
+  *     `response.encoding` is overridden before `.text` decodes);
+  *  2. otherwise use the transport (header) charset;
+  *  3. decode attempts: declared charset strict → utf-8 with REPLACE →
+  *     declared charset with REPLACE → latin-1 (never fails), the
+  *     sandbox equivalent of Py2's `decode(..., 'replace'/'ignore')`
+  *     fallbacks (spider.py:455-467).
+  *
+  * Pure function of (bytes, headerCharset); runs inside the extract
+  * `map` — a byte-identity hot spot, kept dependency-free.
+  */
+object CharsetDecode {
+
+  private val metaCharsetRe =
+    java.util.regex.Pattern.compile(
+      """(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""")
+
+  /** The declared meta charset of an HTML body head, if any. */
+  def metaCharset(bytes: Array[Byte]): Option[String] = {
+    val headLen = math.min(bytes.length, 4096)
+    val head = new String(bytes, 0, headLen, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = metaCharsetRe.matcher(head)
+    if (m.find()) Option(m.group(1)) else None
+  }
+
+  private def tryDecode(bytes: Array[Byte], cs: Charset, onError: CodingErrorAction): Option[String] =
+    try {
+      val dec = cs.newDecoder()
+        .onMalformedInput(onError)
+        .onUnmappableCharacter(onError)
+      Some(dec.decode(ByteBuffer.wrap(bytes)).toString)
+    } catch { case _: Exception => None }
+
+  private def charsetOf(name: String): Option[Charset] =
+    try Some(Charset.forName(name)) catch { case _: Exception => None }
+
+  /** Resolve + decode. `headerCharset` = charset parameter of the
+    * Content-Type header, when present. */
+  def decode(bytes: Array[Byte], headerCharset: Option[String]): String = {
+    val declared = metaCharset(bytes).orElse(headerCharset).getOrElse("utf-8")
+    val cs = charsetOf(declared).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    tryDecode(bytes, cs, CodingErrorAction.REPORT)
+      .orElse(tryDecode(bytes, java.nio.charset.StandardCharsets.UTF_8, CodingErrorAction.REPLACE))
+      .orElse(tryDecode(bytes, cs, CodingErrorAction.REPLACE))
+      .getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  /** Charset parameter of a Content-Type header value, if any. */
+  def headerCharset(contentType: String): Option[String] = {
+    val i = contentType.toLowerCase.indexOf("charset=")
+    if (i < 0) None
+    else {
+      val v = contentType.substring(i + 8).takeWhile(c => c != ';' && c != ' ')
+      if (v.isEmpty) None else Some(v.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+}
