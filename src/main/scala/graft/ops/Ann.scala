@@ -83,25 +83,35 @@ object Ann {
   }
 
   /** LSH-bucketed top-k: same output shape as [[bruteForceTopK]] but only
-    * candidates sharing a (multi-probed) signature bucket are scored.
-    * Recall is property-tested against brute force in `OpsSpec`. */
+    * candidates sharing a (multi-probed) signature bucket in at least one
+    * of `tables` independent hash tables are scored — the standard
+    * recall/cost dial (L tables × b bits). Recall is property-tested
+    * against brute force in `OpsSpec`.
+    *
+    * Scale shape: signatures are a row-local map; the candidate join is
+    * keyed by (table, bucket) with near-uniform buckets, then scored
+    * per pair — no full cross product ever materializes. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      nBits: Int = 8,
+      nBits: Int = 6,
       dim: Int = 64,
       probes: Int = 1,
+      tables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val planes = spark.sparkContext.broadcast(hyperplanes(nBits, dim))
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed = 42L + 1000L * t)))
 
     def sigOf(df: DataFrame, id: String, vec: String, outId: String, outVec: String): DataFrame =
       df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-        .map { case (i, v) => (i, v, signature(v, planes.value)) }
-        .toDF(outId, outVec, "sig")
+        .flatMap { case (i, v) =>
+          planes.value.indices.map(t => (i, v, t, signature(v, planes.value(t))))
+        }
+        .toDF(outId, outVec, "tbl", "sig")
 
     val c = sigOf(corpus, idCol, vecCol, "cand_id", "cv")
     val qSig = sigOf(queries, idCol, vecCol, "query_id", "qv")
@@ -111,8 +121,9 @@ object Ann {
       else qSig.withColumn("sig",
         explode(expr(s"concat(array(sig), transform(sequence(0, ${nBits - 1}), b -> cast(sig ^ shiftleft(1, b) as int)))")))
 
-    broadcast(probed).join(c, Seq("sig"))
+    broadcast(probed).join(c, Seq("tbl", "sig"))
       .where(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qv", "cand_id", "cv").dropDuplicates("query_id", "cand_id")
       .withColumn("cosine", expr(cosineExpr("qv", "cv")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")

@@ -1,0 +1,127 @@
+package graft
+
+import graft.fixtures.Fixtures
+import graft.frontier.Politeness
+import graft.jobs.CrawlWave
+import graft.store.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end crawl-engine properties on the sf0.001 fixture space:
+  * crawl order under politeness, URL-seen set, byte identity, resume
+  * from snapshot, and partition-count invariance (SURVEY.md §5.2 #3/#4). */
+class CrawlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  // short wave period → multi-wave schedules even at sf0.001
+  private def cfg(parts: Int) = CrawlWave.Config(wavePeriodMs = 3000L, partitions = parts)
+
+  private def runCrawl(parts: Int): SnapshotTable = {
+    val root = Files.createTempDirectory("crawl-").toString
+    val store = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    new CrawlWave(spark, pages, store, cfg(parts)).runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    store
+  }
+
+  private lazy val store = runCrawl(4)
+  private lazy val frontier = store.readLatest("frontier").get.cache()
+
+  test("frontier drains: no ready rows; every fetchable deduped URL done or error") {
+    assert(frontier.where(col("state") === "ready").count() == 0)
+    val expected = Fixtures.seeds(spark, dir)
+      .where(expr(graft.jobs.Synth.fetchableWhere))
+      .select("url").distinct().count()
+    assert(frontier.where(col("state").isin("done", "error")).count() == expected)
+  }
+
+  test("multi-wave schedule used (not a trivial single wave)") {
+    assert(frontier.agg(max("wave")).head.getInt(0) >= 2)
+  }
+
+  test("engine wave assignment equals the static politeness window schedule") {
+    val done = frontier.where(col("state").isin("done", "error"))
+      .select("seq", "url", "host", "wave")
+    val static = Politeness.schedule(
+      done.select("seq", "url", "host").withColumn("priority", lit(0)), 3000L)
+      .select(col("seq").as("s2"), col("rel_wave"))
+    val joined = done.join(static, col("seq") === col("s2"))
+    assert(joined.where(col("wave") =!= col("rel_wave")).count() == 0)
+  }
+
+  test("per-host crawl order preserves seq order across waves (reference order §2.5)") {
+    import spark.implicits._
+    val bad = frontier.where(col("state").isin("done", "error"))
+      .groupBy("host").agg(collect_list(struct(col("wave"), col("seq"))).as("l"))
+      .as[(String, Seq[(Int, Long)])]
+      .filter { case (_, l) =>
+        val sorted = l.sortBy(_._2) // by seq
+        sorted.zip(sorted.tail).exists { case (a, b) => a._1 > b._1 } // wave must be monotone in seq
+      }
+    assert(bad.count() == 0)
+  }
+
+  test("URL-seen set equals the distinct fetchable URL set; idempotent re-offer") {
+    val seen = store.readLatest("seen").get
+    val expected = Fixtures.seeds(spark, dir)
+      .where(expr(graft.jobs.Synth.fetchableWhere))
+      .select("url").distinct().count()
+    assert(seen.count() == expected)
+    assert(seen.select("url_hash").distinct().count() == expected)
+    // re-offering the whole seed list schedules nothing new
+    val pages = Fixtures.pages(spark, dir).toDF
+    val cw = new CrawlWave(spark, pages, store, cfg(4))
+    assert(cw.step().isEmpty)
+  }
+
+  test("all alive samples are byte-identical to the golden text column") {
+    val samples = store.readLatest("samples").get
+    assert(samples.count() > 0)
+    assert(samples.where(!col("render_match")).count() == 0)
+  }
+
+  test("error channel carries drops, liveness kills and fetch misses") {
+    import spark.implicits._
+    val errs = store.readLatest("errors").get
+      .select("err").as[String].collect().toSet
+    assert(errs.exists(_.startsWith("skip this file")))  // S3 ext skip
+    assert(errs.contains("skip this file(scheme)"))      // S2 ftp drop
+    assert(errs.contains("duplicate url"))
+    assert(errs.contains("fetch failed (no response)"))  // S4 miss
+    assert(errs.exists(e => e == "404" || e == "503"))   // P3 status
+    assert(errs.exists(_.startsWith("not web page")))    // P1 content-type
+    assert(errs.exists(_.startsWith("page not found")))  // P2 title
+  }
+
+  test("resume from an interrupted run converges to the identical final state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-resume-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    // phase 1: init + 2 waves, then "crash"
+    val cw1 = new CrawlWave(spark, pages, st, cfg(4))
+    cw1.init(Fixtures.seeds(spark, dir))
+    cw1.step(); cw1.step()
+    // phase 2: a brand-new engine over the same store resumes
+    val cw2 = new CrawlWave(spark, pages, st, cfg(4))
+    cw2.runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+    assert(st.readLatest("samples").get.count() ==
+      store.readLatest("samples").get.count())
+  }
+
+  test("result is invariant under task parallelism (local partition count)") {
+    import spark.implicits._
+    val st2 = runCrawl(2)
+    def waves(s: SnapshotTable) = s.readLatest("frontier").get
+      .where(col("state").isin("done", "error"))
+      .select("seq", "wave").as[(Long, Int)].collect().toSet
+    assert(waves(st2) == waves(store))
+  }
+}
