@@ -1,0 +1,552 @@
+package graft.features
+
+import graft.html.TagScanner
+import graft.html.TagScanner.Tag
+import graft.parse.Blocks
+import graft.py.Py
+import graft.urls.Canonicalize
+
+/** Extractor sets 1, 2s, 3, 4 and 6 — the non-default pluggable sets of
+  * the reference (`feature_extractor.py --select extractorsN`,
+  * SURVEY.md §2.6). Each is a pure function over the sample's blocks,
+  * with every set-specific quirk cited and mirrored. Set 5 (the
+  * default) lives in [[ExtractorSet5]]/[[HttpFeatures]].
+  */
+object UrlFeatureSets {
+
+  private def domain(url: String): String = Canonicalize.extractorDomain(url)
+
+  private def isIp(url: String): Boolean =
+    Py.pyMatch("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$", domain(url))
+
+  private def withoutParameter(url: String): String = {
+    val q = url.indexOf('?')
+    if (q > 0) Py.sliceTo(url, q) else url
+  }
+
+  private def isAt(url: String): Boolean = withoutParameter(url).indexOf('@') > -1
+
+  private def isSpecial(url: String): Boolean = {
+    val wo = withoutParameter(url)
+    isAt(url) || wo.indexOf('-') > -1 || wo.indexOf('*') > -1 || wo.indexOf('|') > -1
+  }
+
+  private def dots(url: String): Int = domain(url).split("\\.", -1).length - 1
+
+  private def b(v: Boolean): Double = if (v) 1.0 else 0.0
+
+  /** Set 1 — `extractors/url_feature.py:8`:
+    * [is_long_url, dots, is_ip_address, is_http_connection,
+    * is_at_symbol, is_hexadecimal]. */
+  def set1(url: String): Vector[Double] = Vector(
+    b(url.length >= 127),                       // :13-14
+    dots(url).toDouble,
+    b(isIp(url)),
+    b(Py.sliceTo(url, 5) != "https"),
+    b(isAt(url)),
+    b(domain(url).indexOf('%') > -1))
+
+  /** Set 2s — `extractors2s/url_feature.py:10`:
+    * [ip_or_hex, dots (3-way), is_at_symbol, url_length (3-way)]. */
+  def set2s(url: String): Vector[Double] = {
+    val dotsPart = dots(url)
+    val dots3 = if (dotsPart < 2) 1 else if (dotsPart == 2) 0 else -1 // :59-69
+    val len = url.length
+    val len3 = if (len < 54) 1 else if (len > 75) 0 else -1           // :148-155
+    Vector(
+      b(domain(url).indexOf('%') > -1 || isIp(url)),                  // :46-49
+      dots3.toDouble, b(isAt(url)), len3.toDouble)
+  }
+
+  /** Set 4 — `extractors4/url_feature.py:8`:
+    * [is_ip_address, dots, is_special_words, is_slashes]. */
+  def set4(url: String): Vector[Double] = {
+    val p = url.indexOf("//") + 2
+    val isSlashes = Py.sliceFrom(url, p).indexOf('/') > 0 // :10-12
+    Vector(b(isIp(url)), dots(url).toDouble, b(isSpecial(url)), b(isSlashes))
+  }
+
+  /** Set 6 — `extractors6/url_feature.py:21`: [is_http_connection,
+    * is_ip_address, dots, is_special_words, url_linkin_num,
+    * url_traffic_rank]. The last two query the Alexa AWIS API, long
+    * dead (SURVEY.md §2.6) — the no-response path returns 0 (:34-38). */
+  def set6(url: String): Vector[Double] = Vector(
+    b(Py.sliceTo(url, 5) != "https"), b(isIp(url)), dots(url).toDouble,
+    b(isSpecial(url)), 0.0, 0.0)
+
+  // -------------------------------------------------------------- set 3
+
+  /** Brand list (`extractors3/url_feature.py:236,259,277`). */
+  val brands: Vector[String] = Vector(
+    "dropbox", "google", "paypal", "battle.net", "yahoo", "drive", "alibaba",
+    "DHL", "bank", "hotmail", ".irs.", "facebook", "itau", "impots.gouv",
+    "amazon", "amazonaws", "made-in-china", "twitter", "gov.uk", "barclays")
+
+  /** TLD containment list for F49 (`extractors3/url_feature.py:73-228`):
+    * the reference inlines the ~1530-entry IANA TLD registry, UPPERCASE
+    * with a leading dot — so against lower-case domains the substring
+    * test virtually never fires (case-sensitive `in`, quirk preserved).
+    * We carry a representative public-registry subset; the semantics
+    * (count of contained entries > 1) and the case quirk are what the
+    * feature computes. */
+  val tlds: Vector[String] =
+    ("aaa,abb,abc,ac,academy,accountant,aero,af,africa,agency,ai,airforce,amazon,analytics,android,aol,app,apple,ar,army,art,asia,at,attorney,au,auction,audio,auto,aws,ba,baby,band,bank,bar,bargains,bbc,be,beer,berlin,best,bet,bid,bike,bingo,bio,biz,black,blog,blue,bmw,bank,boats,bond,boo,book,boston,bot,boutique,br,broker,build,builders,business,buy,buzz,bz,ca,cab,cafe,cam,camera,camp,capital,car,cards,care,careers,cars,casa,cash,casino,cat,catering,cc,center,ceo,ch,channel,charity,chat,cheap,church,city,claims,cleaning,click,clinic,clothing,cloud,club,cn,co,coach,codes,coffee,college,com,community,company,computer,condos,construction,consulting,contact,cooking,cool,coop,country,coupons,courses,credit,creditcard,cricket,cruises,cx,cymru,cz,dance,data,date,dating,day,de,deal,deals,degree,delivery,democrat,dental,dentist,desi,design,dev,diamonds,diet,digital,direct,directory,discount,dk,doctor,dog,domains,download,earth,eco,education,email,energy,engineer,engineering,enterprises,equipment,es,estate,eu,events,exchange,expert,exposed,express,fail,faith,family,fan,fans,farm,fashion,fi,finance,financial,fish,fishing,fit,fitness,flights,florist,flowers,fm,football,forsale,foundation,fr,fun,fund,furniture,futbol,fyi,gallery,game,games,garden,gay,gdn,gift,gifts,gives,glass,global,gmbh,gold,golf,gop,graphics,gratis,green,gripe,group,guide,guitars,guru,hair,haus,health,healthcare,help,here,hiphop,hockey,holdings,holiday,homes,horse,hospital,host,hosting,house,how,hu,icu,id,ie,immo,in,inc,industries,info,ink,institute,insurance,insure,international,investments,io,ir,irish,it,jetzt,jewelry,jobs,jp,juegos,kaufen,kim,kitchen,kiwi,kr,land,lat,law,lawyer,lease,legal,lgbt,li,life,lighting,limited,limo,link,live,llc,loan,loans,lol,london,love,lt,ltd,lu,luxury,market,marketing,mba,me,media,memorial,men,menu,miami,mobi,moda,moe,mom,money,mortgage,motorcycles,movie,mx,nagoya,name,navy,net,network,new,news,ninja,nl,no,now,nyc,observer,off,okinawa,one,onl,online,ooo,org,organic,page,paris,partners,parts,party,pet,ph,phone,photo,photography,photos,pics,pictures,pink,pizza,pl,place,plumbing,plus,poker,porn,press,pro,productions,promo,properties,protection,pub,pw,qa,quebec,racing,radio,re,realty,recipes,red,rehab,rent,rentals,repair,report,republican,rest,restaurant,review,reviews,rip,ro,rocks,rodeo,ru,run,sale,salon,sarl,sbs,school,schule,science,scot,se,security,services,sex,sexy,sg,shoes,shop,shopping,show,si,singles,site,ski,skin,soccer,social,software,solar,solutions,soy,space,sport,store,stream,studio,study,style,sucks,supplies,supply,support,surf,surgery,sydney,systems,tax,taxi,team,tech,technology,tel,tennis,theater,tickets,tienda,tips,tires,today,tokyo,tools,top,tours,town,toys,trade,trading,training,travel,tube,tv,tw,uk,university,uno,us,vacations,vc,vegas,ventures,vet,viajes,video,villas,vin,vip,vision,vodka,vote,voting,voyage,wales,wang,watch,webcam,website,wedding,wiki,win,wine,work,works,world,ws,wtf,xxx,xyz,yoga,zone")
+      .split(",").toVector.map(t => "." + t.toUpperCase)
+
+  /** Typo generators (`extractors3/TypoGenerator.py:1-127`), minus the
+    * WordNet synonym substitution (no corpus on disk — SURVEY.md §2.2 J4). */
+  object TypoGenerator {
+    private val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    private val vowels = "aeiouy"
+
+    def insertedKey(s: String): Seq[String] =
+      for (i <- 0 until s.length; c <- alphabet)
+        yield s.substring(0, i + 1) + c + s.substring(i + 1)
+
+    def wrongKey(s: String): Seq[String] =
+      for (i <- 0 until s.length; c <- alphabet)
+        yield s.substring(0, i) + c + s.substring(i + 1)
+
+    def skipLetter(s: String): Seq[String] =
+      for (i <- 1 to s.length) yield s.substring(0, i - 1) + s.substring(i)
+
+    /** Quirk mirrored: Python `s[:i] + s[i-1] + s[i:]` at i=0 prepends
+      * the LAST character (`s[-1]`). */
+    def doubleLetter(s: String): Seq[String] =
+      for (i <- 0 to s.length if s.nonEmpty)
+        yield s.substring(0, i) + s.charAt(java.lang.Math.floorMod(i - 1, s.length)) + s.substring(i)
+
+    def reverseLetter(s: String): Seq[String] =
+      for (i <- 1 until s.length)
+        yield s.substring(0, i - 1) + s.charAt(i) + s.charAt(i - 1) + s.substring(i + 1)
+
+    def wrongVowel(s: String): Seq[String] =
+      for {
+        i <- 0 until s.length
+        _ <- vowels // reference's redundant outer loop (×6 duplicates)
+        if vowels.indexOf(s.charAt(i)) >= 0
+        v <- vowels
+      } yield s.substring(0, i) + v + s.substring(i + 1)
+
+    def allTypos(s: String): Seq[String] =
+      insertedKey(s) ++ wrongKey(s) ++ skipLetter(s) ++ doubleLetter(s) ++
+        reverseLetter(s) ++ wrongVowel(s)
+  }
+
+  /** All typos of all brands, precomputed once (driver-side constant,
+    * broadcast-friendly — the reference regenerates per URL, :259-266). */
+  lazy val brandTypos: Array[String] =
+    brands.flatMap(b => TypoGenerator.allTypos(b)).toArray
+
+  /** Set 3 — F49-F58, feature order = Python `dir()` (ASCII-sorted
+    * method names, `extractors3/url_feature.py:7`). */
+  val set3Features: Vector[(String, String => Double)] = Vector[(String, String => Double)](
+    "get_brandname" -> (u => b(brands.exists(domain(u).contains(_)))),          // F50
+    "get_dots" -> (u => dots(u).toDouble),                                      // F57
+    "get_hexadecimal" -> (u => b(domain(u).indexOf('%') > -1)),                 // F52
+    "get_ip_address" -> (u => b(isIp(u))),                                      // F53
+    "get_long_url" -> (u => b(domain(u).length > 25)),                          // F55 (domain, not url)
+    "get_misleading_subdomain" -> (u => b(brands.exists(domain(u).contains(_)))), // F56 (same test as F50, :276-280)
+    "get_multiple_tld" -> { u =>                                                // F49
+      val d = domain(u)
+      b(tlds.count(d.contains(_)) > 1)
+    },
+    "get_path_domain_length" -> { u =>                                          // F58
+      val p1 = u.indexOf("//") + 2
+      val p2raw = u.indexOf('/', p1)
+      val p2 = if (p2raw > 0) p2raw + 1 else u.length
+      Py.sliceFrom(u, p2).length.toDouble
+    },
+    "get_special_words" -> (u => b(isSpecial(u))),                              // F51
+    "get_typos" -> (u => {                                                      // F54
+      val d = domain(u)
+      b(brandTypos.exists(d.contains(_)))
+    })
+  ).sortBy(_._1)
+
+  def set3(url: String): Vector[Double] = set3Features.map(_._2(url))
+}
+
+object HttpFeatureSets {
+
+  import HttpFeatures.{buildState, calTagBlock, State}
+
+  private def b(v: Boolean): Double = if (v) 1.0 else 0.0
+
+  private def mergedState(blocks: Seq[String]): State =
+    blocks.map(buildState).reduce((prev, cur) => cur.absorb(prev))
+
+  /** Set 1 — `extractors/http_feature.py:45`:
+    * [is_frame, is_redirect (meta refresh present, :174-178), is_form]. */
+  def set1(blocks: Seq[String], rawUrl: String): Vector[Double] = {
+    if (blocks.isEmpty) return Vector.fill(3)(0.0)
+    val st = mergedState(blocks)
+    Vector(
+      b(st.frameTags.nonEmpty),
+      b(st.redirectTags.nonEmpty),
+      b(TagScanner.findAll(st.tags, "form").nonEmpty))
+  }
+
+  /** Set 2s — `extractors2s/http_feature.py:63`:
+    * [is_login_form, rule_based, get_title_feature].
+    *
+    * is_login_form (:359-363): form ∧ (button|input submit) → 0 else 1;
+    * the submit checks carry the always-False `.tag` quirk (bs4 child
+    * lookup returns None), so the value is constantly 1 whenever
+    * extracted — mirrored.
+    *
+    * rule_based (:396-426): over LINK tags (not <a>), sum of
+    * external-domain counts ÷ total; the `m != total` guard zeroes the
+    * rate when ALL links are external (quirk mirrored); ≥0.5 → 0 else 1. */
+  def set2s(blocks: Seq[String], rawUrl: String, cfg: ExtractConfig): Vector[Double] = {
+    if (blocks.isEmpty) return Vector.fill(3)(0.0)
+    val st = mergedState(blocks)
+    val pageDomain = Canonicalize.extractorDomain(Py.rstrip(rawUrl))
+    val loginForm = 1.0 // .tag quirk: submit checks never fire
+    var counts = Map.empty[String, Int]
+    var total = 0
+    for (node <- st.linkTags) {
+      val url = node.getOpt("href")
+      total += 1
+      if (url.exists(u => u.nonEmpty && u != "#")) {
+        val d = Canonicalize.extractorDomain(url.get)
+        counts += (d -> (counts.getOrElse(d, 0) + 1))
+      }
+    }
+    var m = 0
+    for ((d, c) <- counts) if (c > 0 && d != "." && d != pageDomain) m += c
+    val rate = if (total > 0 && m != total) m.toDouble / total else 0.0
+    val title =
+      if (st.titles.isEmpty) 0.0
+      else cfg.titleScorer.score(HttpFeatures.splitTitle(st.titles))
+    Vector(loginForm, if (rate >= 0.5) 0.0 else 1.0, title)
+  }
+
+  /** Set 4 — `extractors4/http_feature.py:40`:
+    * [null_a_tag, external_a (absolute count, :207-228), is_ssl (:42-43)]. */
+  def set4(blocks: Seq[String], rawUrl: String): Vector[Double] = {
+    if (blocks.isEmpty) return Vector.fill(3)(0.0)
+    val st = mergedState(blocks)
+    val pageDomain = Canonicalize.extractorDomain(Py.rstrip(rawUrl))
+    var counts = Map.empty[String, Int]
+    for (node <- st.aTags) {
+      val url = node.getOpt("href")
+      if (url.exists(u => u.nonEmpty && u != "#")) {
+        val d = Canonicalize.extractorDomain(url.get)
+        counts += (d -> (counts.getOrElse(d, 0) + 1))
+      }
+    }
+    var m = 0
+    for ((d, c) <- counts) if (d != "." && d != pageDomain) m += c
+    Vector(
+      HttpFeatures.nullATag(st),
+      m.toDouble,
+      b(Py.rstrip(rawUrl).startsWith("https")))
+  }
+
+  /** Set 6 — `extractors6/http_feature.py:59`: the 13-feature variant =
+    * set5's rate block + is_login_form (:61-62: form ∧ ¬is_search).
+    *
+    * is_search (:64-82): the word `search` (non-word-bounded regex) in
+    * any text node (lower-cased) or any attribute value (raw case).
+    * Our flat scanner approximates bs4's `tag.string` text-node walk by
+    * scanning text outside tags with script/style content dropped
+    * (divergence documented — fixture HTML keeps text nodes simple). */
+  def set6(blocks: Seq[String], rawUrl: String, cfg: ExtractConfig): Vector[Double] = {
+    if (blocks.isEmpty) return Vector.fill(13)(0.0)
+    val st = mergedState(blocks)
+    val pageDomain = Canonicalize.extractorDomain(Py.rstrip(rawUrl))
+    val isRedirect = st.redirectTags.nonEmpty
+    val isBase64 = st.redirectTags.exists { t =>
+      t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", c.toLowerCase))
+    }
+    val isForm = TagScanner.findAll(st.tags, "form").nonEmpty
+    val searchPattern = "^(.*[^\\w\\d]+|)search(|[^\\w\\d]+.*)$"
+    val texts = textNodes(st.htmlStr).map(_.toLowerCase)
+    val attrVals = st.tags.flatMap(_.attrs.flatMap(_._2))
+    val isSearch = texts.exists(t => Py.pyMatchM(searchPattern, t)) ||
+      attrVals.exists(v => Py.pyMatchM(searchPattern, v))
+    val title =
+      if (st.titles.isEmpty) 0.0
+      else cfg.titleScorer.score(HttpFeatures.splitTitle(st.titles))
+    Vector(
+      st.bytes.toDouble / 1024.0,
+      b(st.frameTags.nonEmpty),
+      b(isRedirect && !isBase64),
+      b(isBase64),
+      HttpFeatures.sameExternDomainScriptRate(st, pageDomain),
+      if (st.totalRows > 0) st.scriptBlockRows.toDouble / st.totalRows else 0.0,
+      if (st.totalRows > 0) st.styleBlockRows.toDouble / st.totalRows else 0.0,
+      HttpFeatures.externalATagSameDomain(st, pageDomain),
+      HttpFeatures.nullATag(st),
+      HttpFeatures.sameExternalDomainLinkRate(st, pageDomain),
+      HttpFeatures.sameExternalDomainImgRate(st, pageDomain),
+      title,
+      b(isForm && !isSearch))
+  }
+
+  /** Rough text-node extraction: drop script/style element content,
+    * then take inter-tag text runs. */
+  private[features] def textNodes(html: String): Vector[String] = {
+    val noScript = html.replaceAll("(?is)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
+    noScript.split("<[^>]*>").toVector.map(Py.strip).filter(_.nonEmpty)
+  }
+
+  // -------------------------------------------------------------- set 3
+
+  /** Per-merged-sample state for set 3 (`extractors3/http_feature.py`).
+    * `__add__` (:383-397) quirks mirrored by [[Set3State.absorb]]:
+    * html concatenates (current first), script rows gain DOUBLE the
+    * previous block's rows (the `+=` appears twice), embed comes from
+    * the PREVIOUS block. */
+  final case class Set3State(htmlStr: String, scriptRows: Vector[String], totalRows: Int) {
+    def absorb(prev: Set3State): Set3State = Set3State(
+      htmlStr + prev.htmlStr,
+      scriptRows ++ prev.scriptRows ++ prev.scriptRows,
+      totalRows + prev.totalRows)
+  }
+
+  private def set3State(block: String): Set3State = {
+    val striped = HttpFeatures.stripedHtmlStr(block)
+    Set3State(block, calTagBlock(block, "script"), striped.split("\n", -1).length)
+  }
+
+  /** `_get_number_of_object` (:77-84): per line, per `;`-segment,
+    * count segments where `re.match('^.*OBJ.*$', seg, I)` fires. */
+  def numberOfObject(htmlStr: String, objPattern: String): Int = {
+    var n = 0
+    for (row <- htmlStr.split("\n", -1); seg <- Py.pySplit(Py.rstrip(row), ";"))
+      if (Py.pyMatchI("^.*" + objPattern + ".*$", Py.strip(seg))) n += 1
+    n
+  }
+
+  /** The 48 set-3 HTTP features, order = Python `dir()` ASCII sort of
+    * method names (`extractors3/http_feature.py:30`). */
+  def set3(blocks: Seq[String], rawUrl: String): Vector[Double] = {
+    if (blocks.isEmpty) return Vector.fill(set3HttpNames.size)(0.0)
+    val st = blocks.map(set3State).reduce((prev, cur) => cur.absorb(prev))
+    val tags = TagScanner.scan(st.htmlStr)
+    def cnt(name: String) = TagScanner.findAll(tags, name).size
+    def attrCnt(name: String, attr: String) =
+      TagScanner.findAll(tags, name).count(_.getOpt(attr).isDefined)
+    def num(p: String) = numberOfObject(st.htmlStr, p).toDouble
+    val embeds = TagScanner.findAll(tags, "embed")
+    // //form/a approximated as <a> inside <form>…</form> spans
+    val formAs = formChildATags(st.htmlStr)
+    val hidden = tags.count { t =>
+      t.getOpt("style").exists(s => Py.pySearch("visibility:.*hidden", s).isDefined || Py.pySearch("display:.*none", s).isDefined) ||
+        t.getOpt("type").contains("hidden") ||
+        t.attrs.exists(_._1 == "hidden")
+    }
+    val scriptJoined = st.scriptRows
+    val values: Map[String, Double] = Map(
+      "get_ADODBStream" -> num("ADODB\\.Stream"),
+      "get_ExcelApplication" -> num("Excel\\.Application"),
+      "get_FileSystemObject" -> num("Scripting\\.FileSystemObject"),
+      "get_MSXML21" -> num("MSXML2\\.XMLHTTP"),
+      "get_MSXML22" -> num("MSXML2\\.XMLHTTP"),
+      "get_MicrosoftXMLDOM" -> num("Microsoft\\.XMLDOM"),
+      "get_SetInterval" -> num("SetInterval\\("),
+      "get_SetTimeout" -> num("SetTimeout\\("),
+      "get_WScriptShell" -> num("WScript\\.Shell"),
+      "get_WordApplication" -> num("Word\\.Application"),
+      "get_applet_codebase" -> attrCnt("applet", "codebase").toDouble,
+      "get_applet_tags" -> cnt("applet").toDouble,
+      "get_attachEvent" -> num("attachEvent\\("),
+      "get_dispatchEvent" -> num("dispatchEvent\\("),
+      // embed src length: None src would crash Py2 len(None); defined substitute 0
+      "get_embed_src_length" -> embeds.map(_.getOpt("src").map(_.length).getOrElse(0)).sum.toDouble,
+      "get_embed_tags" -> embeds.size.toDouble,
+      "get_escap" -> num("escap\\("),
+      "get_eval" -> num("eval\\("),
+      "get_exec" -> num("exec\\("),
+      "get_form" -> cnt("form").toDouble,
+      "get_form_in_javascript" -> 0.0, // :206-237 computes then `return 0` — constant (quirk)
+      "get_frame" -> cnt("frame").toDouble,
+      "get_frequent_head_title_body" -> (num("<head>") + num("<title>") + num("<body>")),
+      "get_fromChartCode" -> num("fromCharCode\\("),
+      "get_iframe" -> cnt("iframe").toDouble,
+      "get_input" -> cnt("input").toDouble,
+      "get_input_in_javascript" -> 0.0, // :239-261 same dead-return quirk
+      "get_javascript_function_calls" -> scriptJoined.map(r => Py.pyFindAllCount("\\(", Py.rstrip(r))).sum.toDouble,
+      "get_javascript_length" -> scriptJoined.map(_.length).sum.toDouble,
+      "get_javascript_length2" -> scriptJoined.map(r => Py.pyFindAllCount("\\(", Py.rstrip(r))).sum.toDouble,
+      "get_javascript_rows" -> scriptJoined.size.toDouble,
+      "get_link_href" -> attrCnt("link", "href").toDouble,
+      // F30: Py2 `str > int` is always True → any `function name(` match
+      "get_long_javascript_function" -> b(scriptJoined.exists(r =>
+        Py.pySplit(r, ";").exists(seg => Py.pyMatch("^.*function ([^\\(]*)\\(.*$", seg)))),
+      // F29: only the LAST script row's `=` position decides
+      "get_long_javascript_variable" -> b(scriptJoined.nonEmpty && scriptJoined.last.indexOf('=') > 12),
+      "get_meta" -> num("<meta .*index.php?Sp1="),
+      "get_object_codebase" -> attrCnt("object", "codebase").toDouble,
+      "get_onclick" -> num("<div onclick=.window.open\\(\""),
+      "get_onerror1" -> num("onerror\\("),
+      "get_onerror2" -> num("onerror\\("),
+      "get_onload" -> num("onload\\("),
+      "get_onunload" -> num("onunload\\("),
+      "get_out_link_in_form" -> formAs.count(a => a.getOpt("href").exists(h => h.nonEmpty && h != "#")).toDouble,
+      "get_outofplace_tags" -> hidden.toDouble,
+      "get_pop" -> num("pop\\("),
+      "get_replaceNode" -> num("replaceNode\\("),
+      "get_script1" -> num("<script>"),
+      "get_script2" -> num("<script>"),
+      "get_void_link_in_form" -> formAs.count(a => a.getOpt("href").exists(h => h.isEmpty || h == "#")).toDouble
+    )
+    set3HttpNames.map(values)
+  }
+
+  /** ASCII-sorted feature names = the exact Python `dir()` order. */
+  val set3HttpNames: Vector[String] = Vector(
+    "get_ADODBStream", "get_ExcelApplication", "get_FileSystemObject",
+    "get_MSXML21", "get_MSXML22", "get_MicrosoftXMLDOM", "get_SetInterval",
+    "get_SetTimeout", "get_WScriptShell", "get_WordApplication",
+    "get_applet_codebase", "get_applet_tags", "get_attachEvent",
+    "get_dispatchEvent", "get_embed_src_length", "get_embed_tags",
+    "get_escap", "get_eval", "get_exec", "get_form", "get_form_in_javascript",
+    "get_frame", "get_frequent_head_title_body", "get_fromChartCode",
+    "get_iframe", "get_input", "get_input_in_javascript",
+    "get_javascript_function_calls", "get_javascript_length",
+    "get_javascript_length2", "get_javascript_rows", "get_link_href",
+    "get_long_javascript_function", "get_long_javascript_variable",
+    "get_meta", "get_object_codebase", "get_onclick", "get_onerror1",
+    "get_onerror2", "get_onload", "get_onunload", "get_out_link_in_form",
+    "get_outofplace_tags", "get_pop", "get_replaceNode", "get_script1",
+    "get_script2", "get_void_link_in_form").sorted
+
+  /** `<a>` tags inside `<form>…</form>` spans (the `//form/a` xpath
+    * approximation for a flat scanner). */
+  private[features] def formChildATags(html: String): Vector[Tag] = {
+    val out = Vector.newBuilder[Tag]
+    var i = 0
+    val lower = html.toLowerCase
+    while (i < lower.length) {
+      val open = lower.indexOf("<form", i)
+      if (open < 0) i = lower.length
+      else {
+        val close = lower.indexOf("</form", open)
+        val end = if (close < 0) lower.length else close
+        out ++= TagScanner.findAll(TagScanner.scan(html.substring(open, end)), "a")
+        i = end + 1
+      }
+    }
+    out.result()
+  }
+}
+
+/** NSLOOKUP variants for set 2s
+  * (`extractors2s/nslookup_feature.py:36-72`). */
+object NslookupFeatureSets {
+
+  /** get_dnsrecord (:37-40): 0 iff any line STARTS with `***`. */
+  def dnsRecord(nslookupStr: String): Double =
+    if (nslookupStr.split("\n", -1).exists(_.indexOf("***") == 0)) 0.0 else 1.0
+
+  /** get_year_age (:49-54) over get_day_age (:56-72): YEARS =
+    * floor(trunc((now-date)/86400) / 365); >2 → 1, <1 → -1, else 0.
+    * No future-clamp in this variant; an unparseable serial would
+    * NameError in the reference — defined substitute: day age 0. */
+  def yearAge(nslookupStr: String, asOfEpochSeconds: Long): Double = {
+    val serial = NslookupFeatures.getSerial(nslookupStr)
+    val days: Long = serial match {
+      case None => 0L
+      case Some(s) =>
+        val epoch: Option[Long] =
+          if (Py.pyMatch("^[1-2]\\d{3}(0[1-9]|10|11|12)(0[1-9]|[1-2]\\d|3[0-2])\\d{2}$", s)) {
+            try {
+              val d = java.time.LocalDate.parse(Py.sliceTo(s, s.length - 2),
+                java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+              Some(d.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+            } catch { case _: Exception => None }
+          } else if (Py.pyMatch("^\\d+$", s)) s.toDoubleOption.map(_.toLong)
+          else None
+        epoch.map(ep => ((asOfEpochSeconds - ep) / 86400.0).toLong).getOrElse(0L)
+    }
+    val years = java.lang.Math.floorDiv(days, 365L)
+    if (years > 2) 1.0 else if (years < 1) -1.0 else 0.0
+  }
+}
+
+/** The full pluggable-set registry
+  * (`feature_extractor.py --select extractorsN`, SURVEY.md §2.6).
+  * Canonical block order everywhere: url, http, header, host, nslookup,
+  * whois, timer, cycling (§3.2). A set whose extractor for a block has
+  * no features contributes nothing for that block; a missing BLOCK
+  * zero-fills the extractor's width (`feature_extractor.py:93-96`). */
+object ExtractorSets {
+
+  final case class SetDef(
+      name: String,
+      featureNames: Vector[String],
+      extract: (Blocks.BlockData, ExtractConfig) => Array[Double])
+
+  private def urlOf(data: Blocks.BlockData): String = data.url
+
+  private def blocksOf(data: Blocks.BlockData, key: String): Vector[String] =
+    data.blocks.getOrElse(key, Vector.empty)
+
+  private def zeroOr(blocks: Vector[String], n: Int)(f: Vector[String] => Vector[Double]): Vector[Double] =
+    if (blocks.isEmpty) Vector.fill(n)(0.0) else f(blocks)
+
+  val set1: SetDef = SetDef("extractors",
+    Vector("is_long_url", "dots", "is_ip_address", "is_http_connection",
+      "is_at_symbol", "is_hexadecimal",
+      "http_is_frame", "http_is_redirect", "http_is_form", "header_is_redirect"),
+    (d, _) => (UrlFeatureSets.set1(urlOf(d)) ++
+      HttpFeatureSets.set1(blocksOf(d, "http"), urlOf(d)) ++
+      zeroOr(blocksOf(d, "header"), 1)(bs => HeaderFeatures.extract(bs))).toArray)
+
+  val set2s: SetDef = SetDef("extractors2s",
+    Vector("ip_or_hex", "dots3", "is_at_symbol", "url_length3",
+      "is_login_form", "rule_based", "title_feature",
+      "dnsrecord", "year_age"),
+    (d, cfg) => (UrlFeatureSets.set2s(urlOf(d)) ++
+      HttpFeatureSets.set2s(blocksOf(d, "http"), urlOf(d), cfg) ++
+      zeroOr(blocksOf(d, "nslookup"), 2) { bs =>
+        Vector(NslookupFeatureSets.dnsRecord(bs.last),
+          NslookupFeatureSets.yearAge(bs.last, cfg.asOfEpochSeconds))
+      }).toArray)
+
+  val set3: SetDef = SetDef("extractors3",
+    UrlFeatureSets.set3Features.map(_._1) ++ HttpFeatureSets.set3HttpNames,
+    (d, _) => (UrlFeatureSets.set3(urlOf(d)) ++
+      HttpFeatureSets.set3(blocksOf(d, "http"), urlOf(d))).toArray)
+
+  val set4: SetDef = SetDef("extractors4",
+    Vector("is_ip_address", "dots", "is_special_words", "is_slashes",
+      "null_a_tag", "external_a", "is_ssl"),
+    (d, _) => (UrlFeatureSets.set4(urlOf(d)) ++
+      HttpFeatureSets.set4(blocksOf(d, "http"), urlOf(d))).toArray)
+
+  val set5: SetDef = SetDef("extractors5",
+    ExtractorSet5.featureNames,
+    (d, cfg) => ExtractorSet5.extractFromBlocks(d, cfg))
+
+  val set6: SetDef = SetDef("extractors6",
+    Vector("is_http_connection", "is_ip_address", "dots", "is_special_words",
+      "url_linkin_num", "url_traffic_rank") ++
+      Vector("kbytes", "is_frame", "is_meta_redirect", "is_meta_base64_redirect",
+        "script_rate", "script_block_rate", "style_block_rate",
+        "external_a_tag_same_domain", "null_a_tag", "link_rate", "img_rate",
+        "title_feature", "is_login_form") ++
+      Vector("header_is_redirect", "ipv4_numbers", "ipv6_numbers",
+        "is_alias", "is_weird_serial", "day_age", "is_with_whois", "is_cycling"),
+    (d, cfg) => (UrlFeatureSets.set6(urlOf(d)) ++
+      HttpFeatureSets.set6(blocksOf(d, "http"), urlOf(d), cfg) ++
+      zeroOr(blocksOf(d, "header"), 1)(bs => HeaderFeatures.extract(bs)) ++
+      HostFeatures.extract(blocksOf(d, "host")) ++
+      NslookupFeatures.extract(blocksOf(d, "nslookup"), cfg.asOfEpochSeconds) ++
+      WhoisFeatures.extract(blocksOf(d, "whois")) ++
+      CyclingFeatures.extract(blocksOf(d, "cycling"))).toArray)
+
+  val all: Map[String, SetDef] = Map(
+    "extractors" -> set1, "extractors2s" -> set2s, "extractors3" -> set3,
+    "extractors4" -> set4, "extractors5" -> set5, "extractors6" -> set6)
+
+  /** Extract with a selected set over rendered sample text. */
+  def extract(setName: String, sampleText: String, cfg: ExtractConfig): Array[Double] = {
+    val data = Blocks.split(Py.readLines(sampleText))
+    all(setName).extract(data, cfg)
+  }
+}

@@ -90,6 +90,11 @@ object CrawlWave {
     spark.emptyDataset[(Int, Long)].toDF("part", "url_hash")
   }
 
+  def emptyBlobs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Int, Array[Byte])].toDF("part", "blob")
+  }
+
   def emptyOutcomes(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[Outcome].toDF()
@@ -143,12 +148,13 @@ final class CrawlWave(
         lit(null).cast("string").as("text"),
         lit(null).cast("array<double>").as("features"),
         lit(false).as("render_match"))
-    store.commit(Map(
-      "frontier" -> frontier,
-      "seen" -> emptySeen(spark),
-      "samples" -> emptyOutcomes(spark).limit(0),
-      "errors" -> initErrors),
-      Map("wave" -> -1L, "seeds" -> frontier.count()))
+    store.commit(
+      replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
+      append = Map(
+        "seen" -> emptySeen(spark),
+        "samples" -> emptyOutcomes(spark).limit(0),
+        "errors" -> initErrors),
+      metrics = Map("wave" -> -1L, "seeds" -> frontier.count()))
   }
 
   /** Run one wave; returns the committed version, or None when the
@@ -164,13 +170,11 @@ final class CrawlWave(
     // 1. politeness gating
     val selected = Politeness.eligibleNow(Politeness.schedule(ready, cfg.wavePeriodMs))
 
-    // 2. seen-set guard: Bloom pre-filter (broadcast blobs) + exact anti-join
+    // 2. seen-set guard: Bloom pre-filter (broadcast blobs maintained
+    // INCREMENTALLY in the snapshot — read is O(blobs), not O(seen))
     val seen = store.read("seen", v)
-    val blobs = seen.select(col("part"), col("url_hash")).as[(Int, Long)]
-      .groupByKey(_._1)
-      .agg(Bloom.aggTuple(cfg.bloomBitsPerPartition, cfg.bloomHashes).toColumn
-        .name("blob"))
-      .collect()
+    val blobs = store.read("seen_bloom", v)
+      .as[(Int, Array[Byte])].collect()
     val bloomMap = blobs.map { case (p, b) => p -> Bloom.deserialize(b) }.toMap
     val bloomBc = spark.sparkContext.broadcast(bloomMap)
     val P = cfg.seenPartitions
@@ -181,7 +185,7 @@ final class CrawlWave(
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-    val toFetch = clean.unionByName(suspects)
+    val toFetch = clean.unionByName(suspects).cache()
 
     // 3. skew: salt + spread the wave's work
     val spreadRows = Skew.spread(Skew.salt(toFetch, cfg.rowsPerSalt), cfg.partitions)
@@ -214,25 +218,45 @@ final class CrawlWave(
         when(col("sel_seq").isNotNull, lit(wave)).otherwise(col("wave")))
       .drop("sel_seq", "sel_hash", "was_err")
 
-    val seenNew = seen.unionByName(
-      toFetch.select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"),
-        col("url_hash")))
+    // seen DELTA (append) + incremental Bloom blob update: the delta
+    // blooms are built distributed over this wave's rows only, merged
+    // with the prior blobs driver-side (blobs are small and fixed-size;
+    // partitions scale with the frontier).
+    val seenDelta = toFetch
+      .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
+    val deltaBlobs = seenDelta.as[(Int, Long)]
+      .groupByKey(_._1)
+      .agg(Bloom.aggTuple(cfg.bloomBitsPerPartition, cfg.bloomHashes).toColumn.name("blob"))
+      .collect()
+    val mergedBlobs = {
+      val m = scala.collection.mutable.Map[Int, Bloom]() ++= bloomMap
+      for ((p, b) <- deltaBlobs) {
+        val d = Bloom.deserialize(b)
+        m.get(p) match {
+          case Some(old) => old.merge(d)
+          case None => m(p) = d
+        }
+      }
+      m.toSeq.map { case (p, bl) => (p, bl.serialize) }
+    }
+    val blobsDf = spark.createDataset(mergedBlobs).toDF("part", "blob")
 
-    val samplesAll = store.read("samples", v).unionByName(samplesNew)
-    val errorsAll = store.read("errors", v).unionByName(errorsNew)
-
-    val nSel = toFetch.count()
-    val nErr = errorsNew.count()
-    val nMismatch = samplesNew.where(!col("render_match")).count()
-    val committed = store.commit(Map(
-      "frontier" -> frontier2,
-      "seen" -> seenNew,
-      "samples" -> samplesAll,
-      "errors" -> errorsAll),
-      Map("wave" -> wave.toLong, "selected" -> nSel,
+    // one aggregate action over the cached outcomes for all wave stats
+    val statsRow = outcomes.toDF().agg(
+      count(lit(1)),
+      sum(when(!col("ok"), 1L).otherwise(0L)),
+      sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L))).head
+    val nSel = statsRow.getLong(0)
+    val nErr = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val nMismatch = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    val committed = store.commit(
+      replace = Map("frontier" -> frontier2, "seen_bloom" -> blobsDf),
+      append = Map("seen" -> seenDelta, "samples" -> samplesNew, "errors" -> errorsNew),
+      metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
         "errors" -> nErr, "render_mismatches" -> nMismatch),
+      rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
       expectedParent = Some(v))
-    outcomes.unpersist(); frontier.unpersist()
+    outcomes.unpersist(); toFetch.unpersist(); frontier.unpersist()
     Some(committed)
   }
 

@@ -1,85 +1,129 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-like versioned snapshot store over plain Parquet.
   *
   * No Iceberg jar exists in this sandbox (SURVEY.md §7.1), so this module
-  * provides the narrow subset the crawl engine needs with the same
-  * guarantees, and the trait boundary a real Iceberg catalog would drop
-  * into:
+  * provides the subset the crawl engine needs with the same guarantees,
+  * and the shape a real Iceberg catalog would drop into:
   *
-  *  - layout: `<root>/v%05d/<table>/` Parquet dirs + `<root>/v%05d/manifest.json`;
-  *  - commits are ATOMIC: data is staged under `<root>/_staging_v%05d`,
-  *    then a single directory rename publishes the version; the manifest
-  *    is written inside the staged dir BEFORE the rename, so a version
-  *    directory is complete iff it exists — a crash mid-commit leaves
-  *    only a `_staging_*` dir, which readers ignore and a retried commit
+  *  - layout: data files under `<root>/data/<table>/v%05d/` (immutable
+  *    once a manifest references them), manifests under
+  *    `<root>/manifests/v%05d.json`;
+  *  - a manifest lists, per table, the data directories that make up
+  *    that version — so APPEND-heavy tables (samples, errors, seen)
+  *    commit only their delta while REPLACE tables (frontier, bloom
+  *    blobs) rewrite; this is the Iceberg manifest-list pattern and
+  *    what keeps per-wave commit cost O(delta), not O(history);
+  *  - commits are ATOMIC: delta data dirs are written first (a retried
+  *    commit overwrites the same v-dir), then the manifest file is
+  *    published by an atomic rename — a crash mid-commit leaves only
+  *    unreferenced data dirs, which readers never see and a retry
   *    overwrites (idempotent re-commit);
-  *  - resume: `latestVersion` = max published `v*`; readers never see a
-  *    partial snapshot;
-  *  - lineage: the manifest records per-table row counts, the wave
-  *    metrics map, and the parent version.
+  *  - optimistic concurrency: `expectedParent` refuses a commit built
+  *    from a stale version;
+  *  - lineage: each manifest records parent version, per-table row
+  *    counts for THIS commit's writes, and the caller's metrics map.
   */
 final class SnapshotTable(spark: SparkSession, root: String) {
 
-  private def vdir(v: Int): Path = Paths.get(root, f"v$v%05d")
-  private def staging(v: Int): Path = Paths.get(root, f"_staging_v$v%05d")
+  private val mapper = new ObjectMapper()
+
+  private def manifestsDir: Path = Paths.get(root, "manifests")
+  private def manifestPath(v: Int): Path = manifestsDir.resolve(f"v$v%05d.json")
+  private def dataDir(table: String, v: Int): Path =
+    Paths.get(root, "data", table, f"v$v%05d")
 
   def latestVersion: Option[Int] = {
-    val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) return None
-    val vs = Files.list(rootPath).iterator().asScala
+    if (!Files.isDirectory(manifestsDir)) return None
+    val vs = Files.list(manifestsDir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{5}") => s.substring(1).toInt }
+      .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
       .toSeq
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Commit `tables` (+ metrics lineage) as the next version; returns it.
-    * `expectedParent` guards against concurrent/duplicate commits: the
-    * commit is refused if the current latest is not the parent we built
-    * from (optimistic concurrency, the Iceberg commit rule). */
-  def commit(tables: Map[String, DataFrame], metrics: Map[String, Long] = Map.empty,
+  /** Commit a new version. `replace` tables are rewritten in full;
+    * `append` tables add a delta on top of the parent's dir list.
+    * `rowCounts` lets callers record already-known counts without a
+    * re-read; missing entries are left out of the manifest rather than
+    * recounted (counting a just-written multi-GB table is exactly the
+    * serial overhead this store exists to avoid). */
+  def commit(
+      replace: Map[String, DataFrame] = Map.empty,
+      append: Map[String, DataFrame] = Map.empty,
+      metrics: Map[String, Long] = Map.empty,
+      rowCounts: Map[String, Long] = Map.empty,
       expectedParent: Option[Int] = None): Int = {
     val parent = latestVersion
     if (expectedParent.isDefined && parent != expectedParent)
       throw new IllegalStateException(
         s"snapshot conflict: latest=$parent expectedParent=$expectedParent")
     val v = parent.getOrElse(0) + 1
-    val stage = staging(v)
-    deleteRecursively(stage) // retried commit: clear leftover staging
-    Files.createDirectories(stage)
-    val counts = tables.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(stage.resolve(name).toString)
-      // count from the written files so the manifest reflects what is on disk
-      name -> spark.read.parquet(stage.resolve(name).toString).count()
+    val parentTables: Map[String, Seq[String]] =
+      parent.map(tableDirs).getOrElse(Map.empty)
+
+    (replace.keySet intersect append.keySet).foreach { t =>
+      throw new IllegalArgumentException(s"table $t in both replace and append")
     }
-    val manifest = render(v, parent, counts, metrics)
-    Files.writeString(stage.resolve("manifest.json"), manifest)
-    Files.move(stage, vdir(v), StandardCopyOption.ATOMIC_MOVE)
+    // write delta data dirs (overwrite → idempotent retry)
+    val written = (replace ++ append).map { case (name, df) =>
+      val dir = dataDir(name, v)
+      df.write.mode("overwrite").parquet(dir.toString)
+      name -> relative(dir)
+    }
+
+    val tables: Map[String, Seq[String]] =
+      (parentTables.keySet ++ written.keySet).map { name =>
+        val prior = parentTables.getOrElse(name, Nil)
+        val dirs =
+          if (replace.contains(name)) Seq(written(name))
+          else if (append.contains(name)) prior :+ written(name)
+          else prior
+        name -> dirs
+      }.toMap
+
+    Files.createDirectories(manifestsDir)
+    val tmp = manifestsDir.resolve(f".tmp-v$v%05d.json")
+    Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics))
+    Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
     v
   }
 
-  def read(table: String, version: Int): DataFrame =
-    spark.read.parquet(vdir(version).resolve(table).toString)
+  /** The data directories composing `table` at `version`. */
+  def tableDirs(version: Int): Map[String, Seq[String]] = {
+    val node = mapper.readTree(Files.readString(manifestPath(version)))
+    val tables = node.get("tables")
+    tables.properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
+  }
+
+  def read(table: String, version: Int): DataFrame = {
+    val dirs = tableDirs(version).getOrElse(table,
+      throw new NoSuchElementException(s"table $table not in snapshot v$version"))
+    spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*)
+  }
 
   def readLatest(table: String): Option[DataFrame] =
     latestVersion.map(read(table, _))
 
   def manifest(version: Int): String =
-    Files.readString(vdir(version).resolve("manifest.json"))
+    Files.readString(manifestPath(version))
 
-  private def render(v: Int, parent: Option[Int], counts: Map[String, Long],
-      metrics: Map[String, Long]): String = {
+  private def relative(p: Path): String = Paths.get(root).relativize(p).toString
+
+  private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
+      counts: Map[String, Long], metrics: Map[String, Long]): String = {
     def obj(m: Map[String, Long]) =
       m.toSeq.sortBy(_._1).map { case (k, x) => s""""$k": $x""" }.mkString("{", ", ", "}")
-    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}}"""
+    val tbl = tables.toSeq.sortBy(_._1).map { case (k, dirs) =>
+      s""""$k": ${dirs.map(d => "\"" + d.replace("\\", "/") + "\"").mkString("[", ", ", "]")}"""
+    }.mkString("{", ", ", "}")
+    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}}"""
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
 }

@@ -7,40 +7,57 @@ import java.nio.file.Files
 class SnapshotSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  test("commit publishes atomically; latest tracks; read round-trips") {
+  test("replace-commit publishes atomically; latest tracks; read round-trips") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
     val st = new SnapshotTable(spark, root)
     assert(st.latestVersion.isEmpty)
-    val v1 = st.commit(Map("t" -> Seq(1, 2, 3).toDF("x")), Map("k" -> 7L))
+    val v1 = st.commit(replace = Map("t" -> Seq(1, 2, 3).toDF("x")),
+      metrics = Map("k" -> 7L), rowCounts = Map("t" -> 3L))
     assert(v1 == 1 && st.latestVersion.contains(1))
-    val v2 = st.commit(Map("t" -> Seq(4).toDF("x")))
+    val v2 = st.commit(replace = Map("t" -> Seq(4).toDF("x")))
     assert(v2 == 2)
     assert(st.read("t", 1).count() == 3)
     assert(st.readLatest("t").get.count() == 1)
-    assert(st.manifest(1).contains("\"row_counts\": {\"t\": 3}"))
+    assert(st.manifest(1).contains("\"t\": 3"))
+    assert(st.manifest(1).contains("\"k\": 7"))
+  }
+
+  test("append tables accumulate deltas across versions; time travel works") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(append = Map("log" -> Seq(1).toDF("x")))
+    st.commit(append = Map("log" -> Seq(2, 3).toDF("x")))
+    st.commit(replace = Map("state" -> Seq("a").toDF("s")),
+      append = Map("log" -> Seq(4).toDF("x")))
+    assert(st.read("log", 1).as[Int].collect().sorted.toSeq == Seq(1))
+    assert(st.read("log", 2).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(st.read("log", 3).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(st.read("state", 3).count() == 1)
   }
 
   test("optimistic concurrency: stale parent refused") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
     val st = new SnapshotTable(spark, root)
-    st.commit(Map("t" -> Seq(1).toDF("x")))
-    st.commit(Map("t" -> Seq(2).toDF("x")))
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")))
+    st.commit(replace = Map("t" -> Seq(2).toDF("x")))
     intercept[IllegalStateException] {
-      st.commit(Map("t" -> Seq(3).toDF("x")), expectedParent = Some(1))
+      st.commit(replace = Map("t" -> Seq(3).toDF("x")), expectedParent = Some(1))
     }
   }
 
-  test("leftover staging dir is ignored by readers and cleared on retry") {
+  test("crash mid-commit leaves no visible version; retry overwrites orphan data") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
     val st = new SnapshotTable(spark, root)
-    st.commit(Map("t" -> Seq(1).toDF("x")))
-    // simulate a crash mid-commit of v2
-    Files.createDirectories(java.nio.file.Paths.get(root, "_staging_v00002", "junk"))
-    assert(st.latestVersion.contains(1))
-    val v2 = st.commit(Map("t" -> Seq(9).toDF("x")))
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")))
+    // simulate a crash AFTER data write, BEFORE manifest publish:
+    Seq(7, 8).toDF("x").write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(root, "data", "t", "v00002").toString)
+    assert(st.latestVersion.contains(1)) // orphan data is invisible
+    val v2 = st.commit(replace = Map("t" -> Seq(9).toDF("x")))
     assert(v2 == 2 && st.read("t", 2).as[Int].collect().toSeq == Seq(9))
   }
 }
