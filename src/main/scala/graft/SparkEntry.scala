@@ -37,7 +37,7 @@ object SparkEntry {
   private val WavePeriodMs = 60000L
 
   private def reg(s: SparkSession, dir: String): Unit =
-    Synth.views(s, dir, Seq("orders", "documents", "embeddings"))
+    Synth.views(s, dir, Seq("orders", "documents", "embeddings", "events"))
 
   // ----------------------------------------------------------- shared CTEs
 
@@ -87,6 +87,16 @@ object SparkEntry {
       |edom AS (SELECT seq, href, CASE WHEN d3 IS NULL THEN '.'
       |                                WHEN d3 LIKE 'www.%' THEN substr(d3, 5)
       |                                ELSE d3 END AS domain FROM e3)""".stripMargin
+
+  /** SQL fragments shared by the set-feature oracles. */
+  private object UrlSqlHelpers {
+    /** OR-chain of brand containment tests (case-sensitive, like the
+      * reference's `in` — `extractors3/url_feature.py:236`). */
+    def brandOr(domCol: String): String =
+      graft.features.UrlFeatureSets.brands
+        .map(b => s"instr($domCol, '${b.replace("'", "''")}') > 0")
+        .mkString("(", " OR ", ")")
+  }
 
   // ----------------------------------------------------------- engine memo
 
@@ -245,6 +255,47 @@ object SparkEntry {
            |  CASE WHEN instr(wo, '@') > 0 OR instr(wo, '-') > 0 OR instr(wo, '*') > 0 OR instr(wo, '|') > 0
            |       THEN 1 ELSE 0 END AS is_special_words,
            |  CASE WHEN instr(domain, '%') > 0 THEN 1 ELSE 0 END AS is_hexadecimal
+           |FROM base""".stripMargin)))),
+
+    // ---------------- URL features of sets 1/2s/3/4 (§2.6), Scala vs SQL
+    "url_features_sets" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val uf = udf((url: String) => {
+          val s1 = graft.features.UrlFeatureSets.set1(url)
+          val s2 = graft.features.UrlFeatureSets.set2s(url)
+          val s4 = graft.features.UrlFeatureSets.set4(url)
+          val s3 = graft.features.UrlFeatureSets.set3(url)
+          val n3 = graft.features.UrlFeatureSets.set3Features.map(_._1)
+          (s1(0).toInt, s2(1).toInt, s2(3).toInt, s4(3).toInt,
+            s3(n3.indexOf("get_path_domain_length")).toInt,
+            s3(n3.indexOf("get_brandname")).toInt,
+            s3(n3.indexOf("get_long_url")).toInt)
+        })
+        s.sql(withSeeds(s"$fetchableCte SELECT seq, url FROM fetchable"))
+          .withColumn("t", uf(col("url")))
+          .select(col("seq"), col("url"),
+            col("t._1").as("is_long_url"), col("t._2").as("dots3"),
+            col("t._3").as("url_length3"), col("t._4").as("is_slashes"),
+            col("t._5").as("path_domain_length"), col("t._6").as("brandname"),
+            col("t._7").as("long_domain"))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte,
+           |hrefs AS (SELECT seq, url AS href FROM fetchable),
+           |$extractorDomainCtes,
+           |base AS (SELECT seq, href AS url, domain,
+           |  length(domain) - length(replace(domain, '.', '')) AS dots,
+           |  substr(href, instr(href, '//') + 2) AS rest
+           |  FROM edom)
+           |SELECT seq, url,
+           |  CASE WHEN length(url) >= 127 THEN 1 ELSE 0 END AS is_long_url,
+           |  CASE WHEN dots < 2 THEN 1 WHEN dots = 2 THEN 0 ELSE -1 END AS dots3,
+           |  CASE WHEN length(url) < 54 THEN 1 WHEN length(url) > 75 THEN 0 ELSE -1 END AS url_length3,
+           |  CASE WHEN instr(rest, '/') > 1 THEN 1 ELSE 0 END AS is_slashes,
+           |  CASE WHEN instr(rest, '/') > 0 THEN length(rest) - instr(rest, '/') ELSE 0 END AS path_domain_length,
+           |  CASE WHEN ${UrlSqlHelpers.brandOr("domain")} THEN 1 ELSE 0 END AS brandname,
+           |  CASE WHEN length(domain) > 25 THEN 1 ELSE 0 END AS long_domain
            |FROM base""".stripMargin)))),
 
     // ---------------- full extraction + byte identity (rows-only)
@@ -483,6 +534,36 @@ object SparkEntry {
       Multimodal.decodeAll(Multimodal.synthAssets(s.table("documents")))
         .drop("sampled_frames", "feature") // keep parquet-simple columns
     }),
+
+    // ---------------- event streams (graft.streaming, batch-checked)
+    "events_hourly" -> Q(
+      (s, dir) => { reg(s, dir); graft.streaming.EventStream.hourlyCounts(s.table("events")) },
+      Some(
+        """SELECT cast(floor(epoch(date_trunc('hour', ts))) as bigint) AS hour_epoch,
+          |  event_type, count(*) AS n,
+          |  cast(round(sum(value) * 1000000, 0) as bigint) AS value_micro
+          |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    "events_sessionize_sql" -> Q(
+      (s, dir) => { reg(s, dir); s.sql(graft.streaming.EventStream.sessionizeSqlSpark(1800)) },
+      Some(graft.streaming.EventStream.sessionizeSqlDuck(1800))),
+
+    "events_sessionize_stateful" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        reg(s, dir)
+        graft.streaming.EventStream.sessionize(
+          s.table("events").select("event_id", "ts", "user_id", "value")
+            .as[graft.streaming.EventStream.Ev],
+          gapSec = 1800, emitOpen = true).toDF()
+      },
+      // the stateful path must agree with the pure window-SQL oracle
+      Some(
+        graft.streaming.EventStream.sessionizeSqlDuck(1800)
+          .replace("SELECT user_id, cast(session_id as bigint) AS session_id, count(*) AS n_events,",
+            "SELECT user_id, count(*) AS n_events,")
+          .replace("FROM s GROUP BY user_id, session_id",
+            "FROM s GROUP BY user_id, session_id"))),
 
     // ---------------- ELM title scoring (§2.9, deterministic seed)
     "elm_title_score" -> rowsOnly((s, dir) => {

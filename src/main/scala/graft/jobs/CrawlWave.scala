@@ -55,10 +55,10 @@ object CrawlWave {
       maxWaves: Int = 10000)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
-  final case class Outcome(seq: Long, url: String, wave: Int, ok: Boolean,
+  final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
       err: String, text: String, features: Seq[Double], render_match: Boolean)
 
-  final case class FetchRow(seq: Long, url: String,
+  final case class FetchRow(seq: Long, url: String, host: String,
       warc_ts: Option[java.sql.Timestamp], html: Option[Array[Byte]], text: Option[String])
 
   val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
@@ -100,13 +100,19 @@ object CrawlWave {
     spark.emptyDataset[Outcome].toDF()
   }
 
+  def emptyMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Int, Int, String, Long, Long, Long, Long)]
+      .toDF("wave", "part_id", "host", "urls", "errors", "render_mismatches", "text_bytes")
+  }
+
   /** Decode/liveness/render/extract for one fetched row — the whole
     * per-URL reference pipeline as a pure function (object-level so the
     * task closure serializes no driver state). */
   def fetchOutcome(r: FetchRow, wave: Int): Outcome = r.html match {
     case None =>
       // requests-exception analogue (spider.py:208-244, S7)
-      Outcome(r.seq, r.url, wave, ok = false, "fetch failed (no response)",
+      Outcome(r.seq, r.url, r.host, wave, ok = false, "fetch failed (no response)",
         null, null, render_match = false)
     case Some(bytes) =>
       val synth = NetSynth.forUrl(r.url) // sandbox S5: per-row deterministic net info
@@ -114,13 +120,13 @@ object CrawlWave {
         CharsetDecode.headerCharset(synth.contentType))
       val verdict = Liveness.isAlive(Some(synth.contentType), content, synth.status)
       if (!verdict.alive)
-        Outcome(r.seq, r.url, wave, ok = false, verdict.err, null, null, render_match = false)
+        Outcome(r.seq, r.url, r.host, wave, ok = false, verdict.err, null, null, render_match = false)
       else {
         val text = SampleRender.render(r.url, content, synth.net)
         val asOf = r.warc_ts.map(_.toInstant.getEpochSecond)
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
-        Outcome(r.seq, r.url, wave, ok = true, "", text,
+        Outcome(r.seq, r.url, r.host, wave, ok = true, "", text,
           features.toSeq, render_match = r.text.contains(text))
       }
   }
@@ -141,7 +147,7 @@ final class CrawlWave(
     val frontier = initFrontier(seeds)
     val initErrors = frontier
       .where(col("state").isin("dropped_scheme", "dropped_ext", "dup"))
-      .select(col("seq"), col("url"), lit(-1).as("wave"), lit(false).as("ok"),
+      .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
         when(col("state") === "dropped_scheme", "skip this file(scheme)")
           .when(col("state") === "dropped_ext", "skip this file")
           .otherwise("duplicate url").as("err"),
@@ -153,7 +159,8 @@ final class CrawlWave(
       append = Map(
         "seen" -> emptySeen(spark),
         "samples" -> emptyOutcomes(spark).limit(0),
-        "errors" -> initErrors),
+        "errors" -> initErrors,
+        "metrics" -> emptyMetrics(spark)),
       metrics = Map("wave" -> -1L, "seeds" -> frontier.count()))
   }
 
@@ -194,6 +201,7 @@ final class CrawlWave(
     val joined = spreadRows.alias("f")
       .join(pages.alias("p"), col("f.url") === col("p.url"), "left")
       .select(col("f.seq").as("seq"), col("f.url").as("url"),
+        col("f.host").as("host"),
         col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
         col("p.text").as("text"))
 
@@ -241,22 +249,32 @@ final class CrawlWave(
     }
     val blobsDf = spark.createDataset(mergedBlobs).toDF("part", "blob")
 
-    // one aggregate action over the cached outcomes for all wave stats
-    val statsRow = outcomes.toDF().agg(
-      count(lit(1)),
-      sum(when(!col("ok"), 1L).otherwise(0L)),
-      sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L))).head
-    val nSel = statsRow.getLong(0)
-    val nErr = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    val nMismatch = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    // per-partition × per-host lineage metrics (north_rule): one
+    // aggregation over the cached outcomes feeds both the `metrics`
+    // append table and the driver-side wave stats — a single action.
+    val metricsNew = outcomes.toDF()
+      .withColumn("part_id", spark_partition_id())
+      .groupBy(col("wave"), col("part_id"), col("host"))
+      .agg(
+        count(lit(1)).as("urls"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("errors"),
+        sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L)).as("render_mismatches"),
+        sum(when(col("ok"), length(col("text"))).otherwise(0L)).as("text_bytes"))
+      .cache()
+    val stats = metricsNew.agg(
+      sum("urls"), sum("errors"), sum("render_mismatches")).head
+    def longAt(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+    val nSel = longAt(0); val nErr = longAt(1); val nMismatch = longAt(2)
     val committed = store.commit(
       replace = Map("frontier" -> frontier2, "seen_bloom" -> blobsDf),
-      append = Map("seen" -> seenDelta, "samples" -> samplesNew, "errors" -> errorsNew),
+      append = Map("seen" -> seenDelta, "samples" -> samplesNew,
+        "errors" -> errorsNew, "metrics" -> metricsNew),
       metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
         "errors" -> nErr, "render_mismatches" -> nMismatch),
       rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
       expectedParent = Some(v))
     outcomes.unpersist(); toFetch.unpersist(); frontier.unpersist()
+    metricsNew.unpersist()
     Some(committed)
   }
 

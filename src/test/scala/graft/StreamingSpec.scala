@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+
+  private val evs = Seq(
+    Ev(0, ts(0), 1, 10.0), Ev(1, ts(5), 1, 5.0),   // session A (user 1)
+    Ev(2, ts(90), 1, 1.0),                          // gap > 30min → session B
+    Ev(3, ts(2), 2, 7.0))                           // user 2
+
+  test("batch stateful sessionization matches the window-SQL shape") {
+    import spark.implicits._
+    val out = EventStream.sessionize(spark.createDataset(evs), gapSec = 1800, emitOpen = true)
+      .collect().sortBy(s => (s.user_id, s.session_start_epoch))
+    assert(out.length == 3)
+    assert(out(0).user_id == 1 && out(0).n_events == 2 && out(0).total_value_micro == 15000000L)
+    assert(out(1).user_id == 1 && out(1).n_events == 1)
+    assert(out(2).user_id == 2 && out(2).n_events == 1)
+    // cross-check with the pure SQL sessionizer over the same rows
+    evs.toDF("event_id", "ts", "user_id", "value").createOrReplaceTempView("events")
+    val sqlOut = spark.sql(EventStream.sessionizeSqlSpark(1800))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(sqlOut.map(_._1).toSeq == out.map(_.user_id).toSeq.sorted)
+    assert(sqlOut.map(_._3).sum == out.map(_.total_value_micro).sum)
+  }
+
+  test("streaming sessionization: state carries across micro-batches, timeout closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(
+      mem.toDS().withWatermark("ts", "0 seconds"), gapSec = 1800, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(0, ts(0), 1, 10.0), Ev(1, ts(5), 1, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open
+      // a much later event advances the watermark past the timeout
+      mem.addData(Ev(2, ts(90), 1, 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(300), 2, 7.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[EventStream.Session].collect()
+      assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value_micro == 15000000L))
+    } finally q.stop()
+  }
+
+  test("hourly windowed counts run on a stream (complete mode) and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, ts(10), 1L, "click", 1.5, "{}"),
+      (1L, ts(20), 2L, "click", 2.5, "{}"),
+      (2L, ts(70), 1L, "buy", 10.0, "{}"))
+    val batch = EventStream.hourlyCounts(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.exists(t => t._2 == "click" && t._3 == 2 && t._4 == 4000000L))
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = EventStream.hourlyCounts(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = streamDf.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
