@@ -45,28 +45,37 @@ object SparkEntry {
     s"WITH seeds AS (\n${Synth.seedsSql}\n),\n$body"
 
   private val fetchableCte =
-    s"fetchable AS (SELECT seq, url FROM seeds WHERE ${Synth.fetchableWhere})"
+    s"fetchable AS (SELECT seq, url, priority FROM seeds WHERE ${Synth.fetchableWhere})"
 
   private val dedupCte =
-    "deduped AS (SELECT url, min(seq) AS seq FROM fetchable GROUP BY url)"
+    "deduped AS (SELECT url, min(seq) AS seq, min_by(priority, seq) AS priority FROM fetchable GROUP BY url)"
 
   /** Crawler-domain canonicalization chain (spider.py:45-60) over
     * `deduped` — independent SQL replica of `Canonicalize.crawlerDomain`. */
   private val hostedCte =
-    """h0 AS (SELECT seq, url, substr(url, instr(url, '//') + 2) AS d0 FROM deduped),
-      |h1 AS (SELECT seq, url, CASE WHEN instr(d0, '/') > 0 THEN substr(d0, 1, instr(d0, '/') - 1)
+    """h0 AS (SELECT seq, url, priority, substr(url, instr(url, '//') + 2) AS d0 FROM deduped),
+      |h1 AS (SELECT seq, url, priority, CASE WHEN instr(d0, '/') > 0 THEN substr(d0, 1, instr(d0, '/') - 1)
       |                             WHEN instr(d0, '?') > 0 THEN substr(d0, 1, instr(d0, '?') - 1)
       |                             ELSE d0 END AS d1 FROM h0),
-      |h2 AS (SELECT seq, url, CASE WHEN instr(d1, '@') > 0 THEN substr(d1, instr(d1, '@') + 1) ELSE d1 END AS d2 FROM h1),
-      |hosted AS (SELECT seq, url, CASE WHEN instr(d2, ':') > 0 THEN regexp_replace(d2, ':[^:]*$', '') ELSE d2 END AS host FROM h2)""".stripMargin
+      |h2 AS (SELECT seq, url, priority, CASE WHEN instr(d1, '@') > 0 THEN substr(d1, instr(d1, '@') + 1) ELSE d1 END AS d2 FROM h1),
+      |hosted AS (SELECT seq, url, priority, CASE WHEN instr(d2, ':') > 0 THEN regexp_replace(d2, ':[^:]*$', '') ELSE d2 END AS host FROM h2)""".stripMargin
 
-  /** Politeness token-bucket schedule (SURVEY.md §2.5) as pure window SQL. */
+  /** Robots-deny filter — independent SQL replica of the deterministic
+    * fixture rule ([[graft.frontier.Robots.synthTxt]]): hosts with
+    * `length % 3 == 0` disallow the `/p/3` path prefix. */
+  private val allowedCte =
+    """allowed AS (SELECT seq, url, priority, host FROM hosted
+      |  WHERE NOT (length(host) % 3 = 0 AND substr(url, instr(url, '/p/') + 3, 1) = '3'))""".stripMargin
+
+  /** Politeness token-bucket schedule (SURVEY.md §2.5) as pure window
+    * SQL over the robots-allowed set; per-host rank by (priority, seq)
+    * — the priority-queue frontier ordering. */
   private val scheduledCte =
-    s"""ranked AS (SELECT seq, url, host,
-       |  cast(row_number() OVER (PARTITION BY host ORDER BY seq) as int) AS host_rank,
+    s"""ranked AS (SELECT seq, url, priority, host,
+       |  cast(row_number() OVER (PARTITION BY host ORDER BY priority, seq) as int) AS host_rank,
        |  greatest(cast(1 as bigint), cast(floor($WavePeriodMs / ((length(host) % 4 + 1) * 100)) as bigint)) AS tokens
-       |  FROM hosted),
-       |scheduled AS (SELECT seq, url, host, host_rank, tokens,
+       |  FROM allowed),
+       |scheduled AS (SELECT seq, url, priority, host, host_rank, tokens,
        |  cast(floor((host_rank - 1.0) / tokens) as int) AS wave FROM ranked)""".stripMargin
 
   /** Extractor-domain chain (`extractor/__init__.py:83-105`) over a
@@ -193,15 +202,35 @@ object SparkEntry {
          |SELECT count(DISTINCT md5(url)) AS seen_count, count(*) AS offered
          |FROM fetchable""".stripMargin)),
 
+    // ---------------- robots.txt deny (parse+match in Scala vs SQL rule)
+    "robots_filter" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val allowedUdf = udf { (host: String, url: String) =>
+          graft.frontier.Robots
+            .parse(graft.frontier.Robots.synthTxt(host))
+            .isAllowed(graft.frontier.Robots.pathOf(url))
+        }
+        s.sql(withSeeds(
+          s"$fetchableCte, $dedupCte, $hostedCte SELECT seq, url, host FROM hosted"))
+          .withColumn("allowed", when(allowedUdf(col("host"), col("url")), 1).otherwise(0))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte
+           |SELECT seq, url, host,
+           |  CASE WHEN length(host) % 3 = 0 AND substr(url, instr(url, '/p/') + 3, 1) = '3'
+           |       THEN 0 ELSE 1 END AS allowed
+           |FROM hosted""".stripMargin)))),
+
     // ---------------- politeness schedule + crawl order (window family)
     "w_politeness_schedule" -> shared(withSeeds(
-      s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
-         |SELECT seq, url, host, host_rank, tokens, wave FROM scheduled""".stripMargin)),
+      s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
+         |SELECT seq, url, priority, host, host_rank, tokens, wave FROM scheduled""".stripMargin)),
 
     "w_crawl_order" -> shared(withSeeds(
-      s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
+      s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
          |SELECT seq, url, wave,
-         |  cast(row_number() OVER (ORDER BY wave, seq) as bigint) AS position
+         |  cast(row_number() OVER (ORDER BY wave, priority, seq) as bigint) AS position
          |FROM scheduled""".stripMargin)),
 
     // ---------------- the LIVE engine vs the static SQL schedule
@@ -210,14 +239,15 @@ object SparkEntry {
         .where(col("state").isin("done", "error"))
         .select(col("seq"), col("url"), col("wave").cast("int").as("wave")),
       Some(Synth.duck(withSeeds(
-        s"""$fetchableCte, $dedupCte, $hostedCte, $scheduledCte
+        s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
            |SELECT seq, url, wave FROM scheduled""".stripMargin)))),
 
     "crawl_engine_seen" -> Q(
       (s, dir) => engineStore(s, dir).readLatest("seen").get
         .agg(count(lit(1)).as("seen_count")),
       Some(Synth.duck(withSeeds(
-        s"$fetchableCte SELECT count(DISTINCT url) AS seen_count FROM fetchable")))),
+        s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte
+           |SELECT count(*) AS seen_count FROM allowed""".stripMargin)))),
 
     // ---------------- skew plan (A: salting)
     "skew_salt_plan" -> shared(withSeeds(
@@ -446,6 +476,25 @@ object SparkEntry {
       Dedup.simhashPairs(s.table("documents"), maxHamming = 16)
     }),
 
+    // embedding-cosine near-dup: exact (oracled) + LSH scale path
+    "dedup_embedding_exact" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Dedup.embeddingNearDupExact(s.table("embeddings"), threshold = 0.4)
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)
+          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |  cast(round(list_cosine_similarity(a.v, b.v) * 1000000, 0) as bigint) AS cosine_micro
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)),
+
+    "dedup_embedding_lsh" -> rowsOnly((s, dir) => {
+      reg(s, dir)
+      Dedup.embeddingNearDupLsh(s.table("embeddings"), threshold = 0.3,
+        nBits = 4, tables = 8)
+    }),
+
     // ---------------- ANN family
     "ann_brute_topk" -> Q(
       (s, dir) => {
@@ -583,6 +632,27 @@ object SparkEntry {
         (id, model.predict(xi), math.rint(model.decision(xi) * 1e6).toLong)
       }
       s.createDataset(scored).toDF("doc_id", "elm_pred", "elm_decision_micro")
+    }),
+
+    // ---------------- LC-ELM ensemble (train/lc-elm.py:20-103)
+    "lcelm_score" -> rowsOnly((s, dir) => {
+      import s.implicits._
+      reg(s, dir)
+      val docs = s.table("documents")
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      // features = quality-style scalars; labels = lang == 'en'
+      val x = docs.map { d =>
+        val words = d._2.split(" ").count(_.nonEmpty).toDouble
+        Array(d._2.length.toDouble / 1000.0, words / 100.0,
+          d._2.count(_ == 'e').toDouble / math.max(d._2.length, 1))
+      }.toArray
+      val y = docs.map(d => if (d._3 == "en") 1.0 else 0.0).toArray
+      val model = graft.tfidf.LcElm.train(x, y, nEstimators = 5, nHidden = 12, seed = 42L)
+      val scored = docs.zip(x).map { case ((id, _, _), xi) =>
+        (id, model.predict(xi), math.rint(model.decision(xi) * 1e6).toLong)
+      }
+      s.createDataset(scored).toDF("doc_id", "lcelm_pred", "lcelm_decision_micro")
     })
   )
 

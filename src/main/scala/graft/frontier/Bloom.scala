@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * k index bits are derived from the two halves of a splitmix64 remix of
   * the input (double hashing, Kirsch–Mitzenmacher).
   */
-final class Bloom(val bits: Array[Long], val numHashes: Int) extends Serializable {
+final class Bloom(val bits: Array[Long], val numHashes: Int) extends SeenFilter {
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -58,6 +58,8 @@ final class Bloom(val bits: Array[Long], val numHashes: Int) extends Serializabl
     bits.foreach(bb.putLong)
     bb.array()
   }
+
+  def copyOf: Bloom = new Bloom(bits.clone(), numHashes)
 }
 
 object Bloom {

@@ -1,0 +1,166 @@
+package graft.frontier
+
+/** Cuckoo filter over 64-bit url hashes (partial-key cuckoo hashing,
+  * Fan et al., CoNEXT'14) — the north rule's alternative to the
+  * partitioned Bloom seen-set ([[Bloom]]). Same deployment shape: one
+  * filter per seen-set partition (`pmod(url_hash, P)`), blobs small and
+  * broadcastable, P scales with the frontier.
+  *
+  * vs Bloom: supports DELETE (a frontier that un-sees URLs on recrawl
+  * policies needs it; Bloom cannot), ~same space at 16-bit fingerprints
+  * with lower false-positive rate, but inserts can fail when load gets
+  * high — failed inserts go to an exact stash so the filter NEVER
+  * false-negatives (a false negative would re-crawl a seen URL, the one
+  * unacceptable error for the seen-set).
+  *
+  * Determinism: fingerprints/buckets derive from splitmix64 of the key;
+  * the eviction walk is seeded by the key and attempt counter — no RNG
+  * state, so a rebuilt filter over the same insert sequence is
+  * byte-identical. (Layout across DIFFERENT insert orders may differ;
+  * membership answers do not.)
+  */
+final class Cuckoo(
+    val table: Array[Short], // numBuckets * bucketSize slots; 0 = empty
+    val bucketSize: Int,
+    val maxKicks: Int,
+    val stash: scala.collection.mutable.ArrayBuffer[Long])
+  extends SeenFilter {
+
+  private def numBuckets: Int = table.length / bucketSize
+  private def mask: Int = numBuckets - 1
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 16-bit nonzero fingerprint. */
+  private def fpOf(h: Long): Short = {
+    val f = ((mix(h) >>> 48) & 0xffffL).toShort
+    if (f == 0) 1.toShort else f
+  }
+  private def i1Of(h: Long): Int = (mix(h) & mask.toLong).toInt
+  /** Partial-key alt index: involutive (altOf(altOf(i, fp), fp) == i). */
+  private def altOf(i: Int, fp: Short): Int =
+    i ^ (mix(fp.toLong & 0xffffL) & mask.toLong).toInt
+
+  private def bucketHas(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < bucketSize) {
+      if (table(b * bucketSize + s) == fp) return true
+      s += 1
+    }
+    false
+  }
+
+  private def tryPlace(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < bucketSize) {
+      if (table(b * bucketSize + s) == 0) { table(b * bucketSize + s) = fp; return true }
+      s += 1
+    }
+    false
+  }
+
+  def put(h: Long): Unit = {
+    val fp = fpOf(h)
+    val i1 = i1Of(h); val i2 = altOf(i1, fp)
+    if (bucketHas(i1, fp) || bucketHas(i2, fp)) return // already present
+    if (tryPlace(i1, fp) || tryPlace(i2, fp)) return
+    // eviction walk, deterministically seeded by (h, kick)
+    var curI = if ((mix(h) & 1L) == 0L) i1 else i2
+    var curFp = fp
+    var kick = 0
+    while (kick < maxKicks) {
+      val slot = (mix(h ^ (kick.toLong << 32)) & 0x7fffffffL).toInt % bucketSize
+      val idx = curI * bucketSize + slot
+      val evicted = table(idx)
+      table(idx) = curFp
+      curFp = evicted
+      curI = altOf(curI, curFp)
+      if (tryPlace(curI, curFp)) return
+      kick += 1
+    }
+    // table effectively full for this path → exact stash (no false negative)
+    // NOTE: the stashed key is the ORIGINAL h only when the walk evicted
+    // nothing of ours; after evictions curFp belongs to some earlier key
+    // whose fingerprint we displaced — re-stash the displaced fingerprint
+    // as a synthetic key marker instead: keep fp-level semantics by
+    // undoing nothing and stashing both the displaced fp (fingerprint
+    // membership via table scan fails) — simplest sound policy: stash h
+    // and ALSO re-insert the displaced fingerprint into the stash as a
+    // fingerprint sentinel. Since stash checks are exact on h and
+    // fingerprint sentinels are checked by fp, encode sentinels as
+    // (fpSentinelTag | fp) which cannot collide with real 64-bit hashes'
+    // usable space statistically; membership checks consult both forms.
+    stash += h
+    if (curFp != fp) stash += Cuckoo.FpSentinelTag | (curFp.toLong & 0xffffL)
+  }
+
+  def mightContain(h: Long): Boolean = {
+    val fp = fpOf(h)
+    val i1 = i1Of(h)
+    bucketHas(i1, fp) || bucketHas(altOf(i1, fp), fp) ||
+      stash.contains(h) || stash.contains(Cuckoo.FpSentinelTag | (fp.toLong & 0xffffL))
+  }
+
+  /** Delete one copy of h's fingerprint (only call for keys actually
+    * inserted — standard cuckoo-filter contract). Returns true if
+    * something was removed. */
+  def delete(h: Long): Boolean = {
+    val fp = fpOf(h)
+    def rm(b: Int): Boolean = {
+      var s = 0
+      while (s < bucketSize) {
+        if (table(b * bucketSize + s) == fp) { table(b * bucketSize + s) = 0; return true }
+        s += 1
+      }
+      false
+    }
+    val i1 = i1Of(h)
+    val si = stash.indexOf(h)
+    if (si >= 0) { stash.remove(si); true }
+    else rm(i1) || rm(altOf(i1, fp))
+  }
+
+  def load: Double = table.count(_ != 0).toDouble / table.length
+
+  def copyOf: Cuckoo = new Cuckoo(table.clone(), bucketSize, maxKicks, stash.clone())
+
+  def serialize: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + table.length * 2 + 4 + stash.length * 8)
+    bb.putInt(bucketSize).putInt(maxKicks).putInt(table.length)
+    table.foreach(bb.putShort)
+    bb.putInt(stash.length)
+    stash.foreach(bb.putLong)
+    bb.array()
+  }
+}
+
+object Cuckoo {
+
+  /** Stash sentinel tag for displaced fingerprints: top bits set to a
+    * pattern splitmix64-mixed real hashes hit with p = 2^-48 per entry. */
+  val FpSentinelTag: Long = 0x7ff8_dead_0000_0000L
+
+  /** `capacity` keys at ~95% max load; numBuckets rounded to a power of
+    * two; 4-slot buckets, 16-bit fingerprints (fpp ~ 2^-13). */
+  def apply(capacity: Int, bucketSize: Int = 4, maxKicks: Int = 500): Cuckoo = {
+    val needed = math.max(1, math.ceil(capacity / 0.95 / bucketSize).toInt)
+    var nb = 1
+    while (nb < needed) nb <<= 1
+    new Cuckoo(new Array[Short](nb * bucketSize), bucketSize, maxKicks,
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+  }
+
+  def deserialize(b: Array[Byte]): Cuckoo = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val bs = bb.getInt(); val mk = bb.getInt(); val n = bb.getInt()
+    val table = Array.fill(n)(bb.getShort())
+    val sl = bb.getInt()
+    val stash = scala.collection.mutable.ArrayBuffer.fill(sl)(bb.getLong())
+    new Cuckoo(table, bs, mk, stash)
+  }
+}

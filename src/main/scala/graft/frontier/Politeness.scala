@@ -32,13 +32,27 @@ object Politeness {
     (length(col("host")) % 4 + 1).cast("long") * 100L
 
   /** Annotate a frontier slice with per-host rank and the relative wave
-    * each row may run in. Requires columns: host, priority, seq. */
-  def schedule(ready: DataFrame, wavePeriodMs: Long): DataFrame = {
+    * each row may run in. Requires columns: host, priority, seq.
+    *
+    * `delays` (optional): a small `(host, crawl_delay_ms)` table from the
+    * robots cache ([[Robots.table]]) — broadcast-joined; hosts whose
+    * robots.txt carries no `Crawl-delay` fall back to the deterministic
+    * formula. */
+  def schedule(ready: DataFrame, wavePeriodMs: Long,
+      delays: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("host").orderBy(col("priority").asc, col("seq").asc)
-    ready
+    val withDelay = delays match {
+      case Some(d) =>
+        ready.join(broadcast(d.select(col("host"), col("crawl_delay_ms"))), Seq("host"), "left")
+          .withColumn("delay_ms", coalesce(col("crawl_delay_ms"), delayMsCol))
+          .drop("crawl_delay_ms")
+      case None => ready.withColumn("delay_ms", delayMsCol)
+    }
+    withDelay
       .withColumn("host_rank", row_number().over(w))
-      .withColumn("tokens", greatest(lit(1L), floor(lit(wavePeriodMs) / delayMsCol).cast("long")))
+      .withColumn("tokens", greatest(lit(1L), floor(lit(wavePeriodMs) / col("delay_ms")).cast("long")))
       .withColumn("rel_wave", floor((col("host_rank") - 1) / col("tokens")).cast("int"))
+      .drop("delay_ms")
   }
 
   /** The rows allowed to fetch this wave (relative wave 0). */

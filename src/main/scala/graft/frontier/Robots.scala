@@ -1,0 +1,147 @@
+package graft.frontier
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** robots.txt parsing + a broadcast per-host robots cache — the
+  * "token-bucket delay + robots.txt cache broadcast" half of the
+  * politeness scheduler the north rule requires.
+  *
+  * The reference crawler does not consult robots.txt (spider.py fetches
+  * unconditionally), so the robots *semantics* here follow the public
+  * REP convention (RFC 9309): rules are grouped under `User-agent`
+  * lines, a URL path is matched against `Allow`/`Disallow` prefixes,
+  * the LONGEST matching prefix wins, `Allow` wins length ties, no
+  * matching rule means allowed, and an empty `Disallow:` value is a
+  * no-op. `Crawl-delay` (a de-facto extension) feeds the token bucket
+  * ([[Politeness]]).
+  *
+  * Scale: the cache is keyed by host — cardinality ~10^7 at the
+  * 10^10-URL design point, i.e. a few hundred MB of compiled rules,
+  * which is broadcastable; hosts are collected once per crawl (not per
+  * wave) and the compiled map is shared by every politeness/deny check.
+  * For frontiers whose host set outgrows the broadcast budget the same
+  * rules table joins by host instead (the [[table]] shape exists for
+  * that path).
+  */
+object Robots {
+
+  /** One path rule; `allow=false` is a Disallow. */
+  final case class Rule(allow: Boolean, prefix: String)
+
+  /** Compiled rules of one host's robots.txt for our agent. */
+  final case class Rules(rules: Vector[Rule], crawlDelayMs: Option[Long]) {
+    /** RFC 9309 §2.2.2: longest matching prefix wins; Allow wins ties;
+      * default allow. */
+    def isAllowed(path: String): Boolean = {
+      var bestLen = -1
+      var bestAllow = true
+      for (r <- rules if r.prefix.nonEmpty && path.startsWith(r.prefix)) {
+        val l = r.prefix.length
+        if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
+          bestLen = l; bestAllow = r.allow
+        }
+      }
+      bestAllow
+    }
+  }
+
+  val allowAll: Rules = Rules(Vector.empty, None)
+
+  /** Parse a robots.txt for `agent` (case-insensitive product token).
+    * Group selection: the most specific matching `User-agent` group wins
+    * (exact token beats `*`); multiple agent lines directly above a rule
+    * block share the block. Unknown directives are ignored. */
+  def parse(text: String, agent: String = "graftbot"): Rules = {
+    val agentLc = agent.toLowerCase
+    // state while scanning
+    var groupAgents = Vector.empty[String] // agent tokens of the open group
+    var inRules = false                    // saw a rule since the agent lines
+    var starRules = Vector.empty[Rule]
+    var starDelay: Option[Long] = None
+    var exactRules = Vector.empty[Rule]
+    var exactDelay: Option[Long] = None
+    var sawExact = false
+
+    def groupMatchesExact: Boolean = groupAgents.exists(_ == agentLc)
+    def groupMatchesStar: Boolean = groupAgents.contains("*")
+
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { groupAgents = Vector.empty; inRules = false }
+            groupAgents :+= value.toLowerCase
+          case "allow" | "disallow" =>
+            inRules = true
+            if (value.nonEmpty) {
+              val r = Rule(key == "allow", value)
+              if (groupMatchesExact) { exactRules :+= r; sawExact = true }
+              if (groupMatchesStar) starRules :+= r
+            } else if (groupMatchesExact) sawExact = true
+          case "crawl-delay" =>
+            inRules = true
+            val ms = try Some((value.toDouble * 1000).round) catch { case _: NumberFormatException => None }
+            if (groupMatchesExact) { exactDelay = ms.orElse(exactDelay); sawExact = true }
+            if (groupMatchesStar) starDelay = ms.orElse(starDelay)
+          case _ => inRules = true // sitemap etc. — ignore
+        }
+      }
+    }
+    if (sawExact) Rules(exactRules, exactDelay) else Rules(starRules, starDelay)
+  }
+
+  /** URL path (+query) for robots matching: everything from the first
+    * `/` after the authority; `/` when the URL has no path. */
+  def pathOf(url: String): String = {
+    val i = url.indexOf("//")
+    if (i < 0) return if (url.startsWith("/")) url else "/"
+    val rest = url.substring(i + 2)
+    val s = rest.indexOf('/')
+    if (s < 0) "/" else rest.substring(s)
+  }
+
+  // ------------------------------------------------------- fixture synth
+
+  /** Deterministic robots.txt for a fixture host (no external data; same
+    * crawl-delay formula as [[Politeness.delayMs]] / `Synth.delayMsSql`
+    * so the DuckDB oracles agree). Hosts with `length % 3 == 0`
+    * disallow the `/p/3` path prefix — the SQL-expressible deny rule the
+    * engine-vs-oracle queries reproduce independently. */
+  def synthTxt(host: String): String = {
+    val delaySec = Politeness.delayMs(host) / 1000.0
+    val deny = if (host.length % 3 == 0) "Disallow: /p/3\n" else ""
+    s"""# robots.txt for $host (deterministic fixture)
+       |User-agent: graftbot
+       |${deny}Crawl-delay: $delaySec
+       |
+       |User-agent: *
+       |Disallow: /private/
+       |""".stripMargin
+  }
+
+  /** Build the compiled robots cache for a set of hosts and broadcast
+    * it. `fetch` defaults to the fixture synthesizer; a production
+    * deployment slots an HTTP robots fetcher here. */
+  def broadcastCache(
+      spark: SparkSession,
+      hosts: Seq[String],
+      fetch: String => String = synthTxt,
+      agent: String = "graftbot"): Broadcast[Map[String, Rules]] =
+    spark.sparkContext.broadcast(
+      hosts.iterator.map(h => h -> parse(fetch(h), agent)).toMap)
+
+  /** The same cache as a joinable DataFrame `(host, crawl_delay_ms,
+    * n_rules)` — the non-broadcast path for host sets beyond broadcast
+    * budget, and the politeness-delay source. */
+  def table(spark: SparkSession, cache: Map[String, Rules]): DataFrame = {
+    import spark.implicits._
+    cache.iterator.map { case (h, r) =>
+      (h, r.crawlDelayMs.getOrElse(Politeness.delayMs(h)), r.rules.size)
+    }.toSeq.toDF("host", "crawl_delay_ms", "n_rules")
+  }
+}

@@ -3,7 +3,7 @@ package graft.jobs
 import graft.crawl.Liveness
 import graft.features.{ExtractConfig, ExtractorSet5}
 import graft.fixtures.NetSynth
-import graft.frontier.{Bloom, Politeness, Skew}
+import graft.frontier.{Politeness, Robots, SeenFilter, Skew}
 import graft.parse.{CharsetDecode, SampleRender}
 import graft.store.SnapshotTable
 import graft.urls.Canonicalize
@@ -52,7 +52,11 @@ object CrawlWave {
       bloomHashes: Int = 5,
       rowsPerSalt: Long = 10000L,
       partitions: Int = 32,
-      maxWaves: Int = 10000)
+      maxWaves: Int = 10000,
+      robots: Boolean = true,
+      agent: String = "graftbot",
+      seenFilter: String = "bloom", // "bloom" | "cuckoo"
+      cuckooCapacityPerPartition: Int = 1 << 20)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
@@ -63,15 +67,20 @@ object CrawlWave {
 
   val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
 
-  /** Initial frontier from a seeds table (`seq`, `url`): scheme dispatch
-    * (S2) + image-extension skip (S3) as dropped states, first-seen
-    * dedup (min seq wins), xxhash64 url identity. */
+  /** Initial frontier from a seeds table (`seq`, `url`[, `priority`]):
+    * scheme dispatch (S2) + image-extension skip (S3) as dropped states,
+    * first-seen dedup (min seq wins, carrying that row's priority),
+    * xxhash64 url identity. Priority 0 = most urgent; absent column →
+    * all 0 (the reference's flat seed-order semantics). */
   def initFrontier(seeds: DataFrame): DataFrame = {
     val imageExts = Seq(".ico", ".jpg", ".png", ".pdf", ".bmp", ".tiff")
     val extCond = imageExts.map(e => lower(col("url")).endsWith(e)).reduce(_ || _)
     val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("url")
       .orderBy(col("seq").asc)
-    seeds
+    val withPriority =
+      if (seeds.columns.contains("priority")) seeds
+      else seeds.withColumn("priority", lit(0))
+    withPriority
       .withColumn("state",
         when(!col("url").startsWith("http"), lit("dropped_scheme"))
           .when(extCond, lit("dropped_ext"))
@@ -81,7 +90,6 @@ object CrawlWave {
       .drop("rk")
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", crawlerDomainUdf(col("url")))
-      .withColumn("priority", lit(0))
       .withColumn("wave", lit(-1))
   }
 
@@ -141,15 +149,46 @@ final class CrawlWave(
   import CrawlWave._
   import spark.implicits._
 
+  /** Compiled robots cache, built from the CURRENT frontier's ready
+    * hosts (once per CrawlWave instance, not per wave; deterministic, so
+    * a resumed instance rebuilds the identical cache). */
+  private lazy val robotsCache: Option[org.apache.spark.broadcast.Broadcast[Map[String, Robots.Rules]]] =
+    if (!cfg.robots) None
+    else store.readLatest("frontier").map { f =>
+      val hosts = f.where(col("state").isin("ready", "denied_robots"))
+        .select("host").distinct().as[String].collect().toSeq
+      Robots.broadcastCache(spark, hosts, agent = cfg.agent)
+    }
+
+  private def robotsDelays: Option[DataFrame] =
+    robotsCache.map(bc => Robots.table(spark, bc.value))
+
   /** Commit snapshot v1 (frontier init + empty state) unless the store
-    * already has a snapshot to resume from. Returns the start version. */
+    * already has a snapshot to resume from. Returns the start version.
+    * Robots deny happens here: `ready` rows whose path the host's
+    * robots.txt disallows become `denied_robots` + an error row — the
+    * broadcast robots cache is consulted row-locally, no shuffle. */
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
-    val frontier = initFrontier(seeds)
+    val frontier0 = initFrontier(seeds)
+    val frontier =
+      if (!cfg.robots) frontier0
+      else {
+        val hosts = frontier0.where(col("state") === "ready")
+          .select("host").distinct().as[String].collect().toSeq
+        val bc = Robots.broadcastCache(spark, hosts, agent = cfg.agent)
+        val deniedUdf = udf { (host: String, url: String) =>
+          !bc.value.getOrElse(host, Robots.allowAll).isAllowed(Robots.pathOf(url))
+        }
+        frontier0.withColumn("state",
+          when(col("state") === "ready" && deniedUdf(col("host"), col("url")),
+            lit("denied_robots")).otherwise(col("state")))
+      }
     val initErrors = frontier
-      .where(col("state").isin("dropped_scheme", "dropped_ext", "dup"))
+      .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
       .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
         when(col("state") === "dropped_scheme", "skip this file(scheme)")
           .when(col("state") === "dropped_ext", "skip this file")
+          .when(col("state") === "denied_robots", "robots.txt disallow")
           .otherwise("duplicate url").as("err"),
         lit(null).cast("string").as("text"),
         lit(null).cast("array<double>").as("features"),
@@ -174,16 +213,20 @@ final class CrawlWave(
     if (ready.isEmpty) { frontier.unpersist(); return None }
     val wave = (v - 1) // wave k is committed as version k+1
 
-    // 1. politeness gating
-    val selected = Politeness.eligibleNow(Politeness.schedule(ready, cfg.wavePeriodMs))
+    // 1. politeness gating (crawl delays from the robots cache)
+    val selected = Politeness.eligibleNow(
+      Politeness.schedule(ready, cfg.wavePeriodMs, robotsDelays))
 
-    // 2. seen-set guard: Bloom pre-filter (broadcast blobs maintained
-    // INCREMENTALLY in the snapshot — read is O(blobs), not O(seen))
+    // 2. seen-set guard: Bloom/cuckoo pre-filter (broadcast blobs
+    // maintained INCREMENTALLY in the snapshot — read is O(blobs), not
+    // O(seen))
     val seen = store.read("seen", v)
     val blobs = store.read("seen_bloom", v)
       .as[(Int, Array[Byte])].collect()
-    val bloomMap = blobs.map { case (p, b) => p -> Bloom.deserialize(b) }.toMap
-    val bloomBc = spark.sparkContext.broadcast(bloomMap)
+    val filterKind = cfg.seenFilter
+    val filterMap: Map[Int, SeenFilter] =
+      blobs.map { case (p, b) => p -> SeenFilter.deserialize(filterKind, b) }.toMap
+    val bloomBc = spark.sparkContext.broadcast(filterMap)
     val P = cfg.seenPartitions
     val mightContainUdf = udf { (h: Long) =>
       bloomBc.value.get(java.lang.Math.floorMod(h, P.toLong).toInt).exists(_.mightContain(h))
@@ -226,27 +269,27 @@ final class CrawlWave(
         when(col("sel_seq").isNotNull, lit(wave)).otherwise(col("wave")))
       .drop("sel_seq", "sel_hash", "was_err")
 
-    // seen DELTA (append) + incremental Bloom blob update: the delta
-    // blooms are built distributed over this wave's rows only, merged
-    // with the prior blobs driver-side (blobs are small and fixed-size;
-    // partitions scale with the frontier).
+    // seen DELTA (append) + incremental filter blob update: each touched
+    // partition's filter is rebuilt DISTRIBUTED (copy of the broadcast
+    // old blob + this wave's delta keys inserted in the executor);
+    // untouched partitions keep their blob verbatim. Blobs are small and
+    // fixed-size; partitions scale with the frontier.
     val seenDelta = toFetch
       .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
-    val deltaBlobs = seenDelta.as[(Int, Long)]
+    val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
+    val cuckooCap = cfg.cuckooCapacityPerPartition
+    val updatedBlobs = seenDelta.as[(Int, Long)]
       .groupByKey(_._1)
-      .agg(Bloom.aggTuple(cfg.bloomBitsPerPartition, cfg.bloomHashes).toColumn.name("blob"))
-      .collect()
-    val mergedBlobs = {
-      val m = scala.collection.mutable.Map[Int, Bloom]() ++= bloomMap
-      for ((p, b) <- deltaBlobs) {
-        val d = Bloom.deserialize(b)
-        m.get(p) match {
-          case Some(old) => old.merge(d)
-          case None => m(p) = d
-        }
+      .mapGroups { (p, it) =>
+        val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
+          SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
+        it.foreach(t => f.put(t._2))
+        (p, f.serialize)
       }
-      m.toSeq.map { case (p, bl) => (p, bl.serialize) }
-    }
+      .collect()
+    val touched = updatedBlobs.map(_._1).toSet
+    val mergedBlobs = updatedBlobs.toSeq ++
+      blobs.filter { case (p, _) => !touched.contains(p) }
     val blobsDf = spark.createDataset(mergedBlobs).toDF("part", "blob")
 
     // per-partition × per-host lineage metrics (north_rule): one

@@ -18,7 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Synth {
 
-  /** Shared-dialect seeds SQL: `seq BIGINT, url STRING` from `orders`.
+  /** Shared-dialect seeds SQL: `seq BIGINT, url STRING, priority INT`
+    * from `orders`. `priority` (0 = most urgent, from `o_orderkey % 3`)
+    * feeds the priority-queue frontier: the politeness window ranks per
+    * host by (priority, seq).
     *
     * Row classes by `o_orderkey` residues:
     *  - %7=0   → duplicate-heavy URLs keyed by `o_custkey % 100` (dedup tests)
@@ -47,7 +50,8 @@ object Synth {
       |            WHEN o_orderkey % 23 = 2 THEN '.png'
       |            WHEN o_orderkey % 23 = 3 THEN '.ico' ELSE '' END
       |    || CASE WHEN o_orderkey % 5 = 4 THEN '?q=' || cast(o_orderkey % 50 as string) ELSE '' END
-      |  END AS url
+      |  END AS url,
+      |  cast(o_orderkey % 3 as int) AS priority
       |FROM orders""".stripMargin
 
   /** Scheme dispatch + image-extension skip (spider.py:526-536, S2+S3):

@@ -225,4 +225,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
   }
+
+  // -------------------------------------------- embedding-cosine near-dup
+
+  /** Exact embedding-cosine near-duplicate pairs over a (small) slice:
+    * every a<b pair with cosine ≥ `threshold`. O(n²) — the verification
+    * baseline; the scale path is [[embeddingNearDupLsh]]. Cosine uses
+    * the shared codegen'd HOF expression ([[Ann.cosineExpr]]). */
+  def embeddingNearDupExact(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("av"))
+    val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", expr(Ann.cosineExpr("av", "bv")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("cosine") * 1e6, 0).cast("long").as("cosine_micro"))
+  }
+
+  /** Embedding-cosine near-dup at scale: sign-LSH bucketing (L tables ×
+    * nBits hyperplane signs, [[Ann.hyperplanes]]) proposes candidate
+    * pairs — only same-bucket vectors ever meet — then the EXACT cosine
+    * filters at `threshold`, so precision is 1.0 and only recall depends
+    * on the sketch (property-tested vs [[embeddingNearDupExact]] in
+    * OpsSpec). Shuffles: one groupBy bucket with near-uniform keys, one
+    * distinct on pairs; no cross product. */
+  def embeddingNearDupLsh(
+      emb: DataFrame,
+      threshold: Double,
+      nBits: Int = 8,
+      tables: Int = 6,
+      dim: Int = 64,
+      maxBucket: Int = 2000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(tables)(t => Ann.hyperplanes(nBits, dim, seed = 77L + 1000L * t)))
+    val sigs = emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .flatMap { case (i, v) =>
+        planes.value.indices.map(t => (i, v, t, Ann.signature(v, planes.value(t))))
+      }.toDF("id", "v", "tbl", "sig")
+    val buckets = sigs.groupBy("tbl", "sig")
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+    val cand = buckets.select(explode(expr(
+      """flatten(transform(members, (x, i) ->
+        |  transform(slice(members, i + 2, size(members)), y ->
+        |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+        |           x.v as av, y.v as bv))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.av"), col("p.bv"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("cosine", expr(Ann.cosineExpr("av", "bv")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("cosine") * 1e6, 0).cast("long").as("cosine_micro"))
+  }
 }

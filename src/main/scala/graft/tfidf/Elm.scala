@@ -63,6 +63,61 @@ object Elm {
   }
 }
 
+/** LC-ELM: the reference's 25-member ELM ensemble with a linear
+  * combiner (`train/lc-elm.py:20-103`):
+  *
+  *  - members: `n` ELMClassifiers fit on X with ±1-binarized labels
+  *    (`lc-elm.py:56-60`); member output F(X)ᵢⱼ ∈ {-1, +1}
+  *    (`_f`, `lc-elm.py:65-75`);
+  *  - combiner: `v = pinv(F)·y` where y is the RAW 0/1 class index
+  *    vector — not the ±1 binarized one (`lc-elm.py:61-63`; preserved
+  *    verbatim, including the consequence that `predict` =
+  *    `sign(F·v)` thresholds 0/1-regressed values at 0, so rows fitted
+  *    near 0 flip on numerical noise — a reference quirk, kept);
+  *  - predict: `binarizer.inverse_transform(sign(F·v))` → {0, 1}
+  *    (`lc-elm.py:101-103`); sign(0) → class 0.
+  *
+  * Seeding: the reference passes the SAME `random_state` to every
+  * member (`lc-elm.py:41-45`), which with a fixed int seed makes all 25
+  * members identical (rank-1 F). We derive per-member seeds
+  * (`seed + 1000·i`) for a meaningful ensemble and document the
+  * divergence; `identicalMembers = true` reproduces the quirk.
+  */
+final case class LcElmModel(members: Vector[ElmModel], v: Array[Double]) {
+
+  /** Member vote vector F(x) ∈ {-1, +1}ⁿ. */
+  def f(x: Array[Double]): Array[Double] =
+    members.iterator.map(m => if (m.decision(x) >= 0.0) 1.0 else -1.0).toArray
+
+  def decision(x: Array[Double]): Double = {
+    val fx = f(x)
+    var s = 0.0
+    var i = 0
+    while (i < fx.length) { s += fx(i) * v(i); i += 1 }
+    s
+  }
+
+  /** Class in {0,1}: `sign(F·v)` inverse-binarized (threshold 0). */
+  def predict(x: Array[Double]): Double = if (decision(x) > 0.0) 1.0 else 0.0
+}
+
+object LcElm {
+
+  def train(x: Array[Array[Double]], y01: Array[Double],
+      nEstimators: Int = 25, nHidden: Int = 20, seed: Long = 42L,
+      identicalMembers: Boolean = false): LcElmModel = {
+    val members = Vector.tabulate(nEstimators) { i =>
+      Elm.train(x, y01, nHidden, if (identicalMembers) seed else seed + 1000L * i)
+    }
+    val n = x.length
+    val f = DenseMatrix.tabulate(n, nEstimators) { (i, j) =>
+      if (members(j).decision(x(i)) >= 0.0) 1.0 else -1.0
+    }
+    val v = pinv(f) * DenseVector(y01) // raw 0/1 targets — lc-elm.py:61-63
+    LcElmModel(members, v.toArray)
+  }
+}
+
 /** Title scorer backed by a vocab + ELM — the engine-side counterpart
   * of `get_title_feature` (`extractors5/http_feature.py:477-512`):
   * build the 0/1 membership vector of vocab terms in the title tokens,

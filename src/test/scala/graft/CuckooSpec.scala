@@ -1,0 +1,79 @@
+package graft
+
+import graft.frontier.{Cuckoo, SeenFilter}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cuckoo-filter semantics: the no-false-negative contract (the one the
+  * seen-set depends on), deletion, load behavior, serialization. */
+class CuckooSpec extends AnyFunSuite {
+
+  private def keys(n: Int, seed: Long = 7L): Seq[Long] =
+    (0 until n).map(i => seed * 0x9e3779b97f4a7c15L + i * 0x6a09e667f3bcc909L)
+
+  test("no false negatives across inserts, incl. past nominal capacity (stash)") {
+    val f = Cuckoo(capacity = 1000)
+    val ks = keys(2000) // 2x capacity → forced evac failures → stash
+    ks.foreach(f.put)
+    assert(ks.forall(f.mightContain), "false negative!")
+  }
+
+  test("false positive rate is small at design load") {
+    val f = Cuckoo(capacity = 10000)
+    val ins = keys(9000)
+    ins.foreach(f.put)
+    val probe = keys(20000, seed = 99L).filterNot(ins.toSet)
+    val fp = probe.count(f.mightContain).toDouble / probe.size
+    assert(fp < 0.01, s"fp=$fp")
+  }
+
+  test("delete removes membership; unrelated keys unaffected") {
+    val f = Cuckoo(capacity = 1000)
+    val ks = keys(500)
+    ks.foreach(f.put)
+    val victim = ks(123)
+    assert(f.mightContain(victim))
+    assert(f.delete(victim))
+    // deleting may leave a same-fingerprint twin; at 500 distinct keys
+    // and 16-bit fps a collision in victim's two buckets is ~never
+    assert(!f.mightContain(victim))
+    assert(ks.filterNot(_ == victim).forall(f.mightContain))
+  }
+
+  test("serialization roundtrip preserves membership and stash") {
+    val f = Cuckoo(capacity = 100)
+    val ks = keys(300) // overload → nonempty stash
+    ks.foreach(f.put)
+    val g = Cuckoo.deserialize(f.serialize)
+    assert(ks.forall(g.mightContain))
+    assert(g.stash == f.stash)
+    assert(g.table.sameElements(f.table))
+  }
+
+  test("copyOf isolates mutation (broadcast safety)") {
+    val f = Cuckoo(capacity = 100)
+    f.put(42L)
+    val g = f.copyOf
+    g.put(4242L)
+    assert(!f.mightContain(4242L) && g.mightContain(4242L))
+  }
+
+  test("SeenFilter factory dispatch") {
+    val c = SeenFilter.fresh("cuckoo", 0, 0, 100)
+    c.put(5L)
+    assert(SeenFilter.deserialize("cuckoo", c.serialize).mightContain(5L))
+    val b = SeenFilter.fresh("bloom", 1 << 12, 5, 0)
+    b.put(6L)
+    assert(SeenFilter.deserialize("bloom", b.serialize).mightContain(6L))
+  }
+
+  test("property sweep: membership holds for many key-set shapes and sizes") {
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(800)
+      val xs = List.fill(n)(rnd.nextLong())
+      val f = Cuckoo(capacity = math.max(16, xs.size))
+      xs.foreach(f.put)
+      assert(xs.forall(f.mightContain), s"trial=$trial n=$n")
+    }
+  }
+}

@@ -80,6 +80,27 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(pairs(Ann.bruteForceTopK(e, q, k = e.count().toInt))))
   }
 
+  test("embedding near-dup: LSH path has precision 1.0 and high recall on injected dups") {
+    import spark.implicits._
+    // real embeddings + deterministic near-duplicates (tiny perturbation
+    // of one component) → true near-dup pairs at cosine >= 0.95
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val injected = e.flatMap { case (id, v) =>
+      val dup = v.clone(); dup(0) = dup(0) + 0.01f
+      if (id % 10 == 0) Seq((id, v), (id + 100000L, dup)) else Seq((id, v))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupExact(injected, 0.95))
+    assert(exact.size >= 40, s"expected ~50 injected pairs, got ${exact.size}")
+    val lsh = pairs(Dedup.embeddingNearDupLsh(injected, 0.95))
+    assert(lsh.subsetOf(exact), "LSH emitted a pair exact cosine rejects (precision < 1)")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("winnowing fingerprints are stable under distant edits") {
     val a = TextAnalysis.winnow(base * 10).toSet
     val b = TextAnalysis.winnow(base * 10 + " changed ending here").toSet

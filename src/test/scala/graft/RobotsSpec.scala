@@ -1,0 +1,94 @@
+package graft
+
+import graft.frontier.{Politeness, Robots}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** robots.txt parser/matcher semantics (RFC 9309 conventions) + the
+  * deterministic fixture synthesis used by the crawl engine. */
+class RobotsSpec extends AnyFunSuite {
+
+  test("group selection: exact agent group beats *, case-insensitive") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: GraftBot
+        |Disallow: /private/
+        |Crawl-delay: 2
+        |""".stripMargin
+    val r = Robots.parse(txt, "graftbot")
+    assert(r.isAllowed("/index.html"))
+    assert(!r.isAllowed("/private/x"))
+    assert(r.crawlDelayMs.contains(2000L))
+    val star = Robots.parse(txt, "otherbot")
+    assert(!star.isAllowed("/index.html")) // * disallows everything
+  }
+
+  test("longest-prefix wins; Allow wins length ties; default allow") {
+    val txt =
+      """User-agent: *
+        |Disallow: /a/
+        |Allow: /a/public/
+        |Allow: /b/
+        |Disallow: /b/
+        |""".stripMargin
+    val r = Robots.parse(txt, "graftbot")
+    assert(!r.isAllowed("/a/secret"))
+    assert(r.isAllowed("/a/public/ok"))
+    assert(r.isAllowed("/b/tie"))       // equal length → Allow wins
+    assert(r.isAllowed("/c/anything"))  // no rule → allow
+  }
+
+  test("multiple agent lines share a group; empty Disallow is a no-op; comments stripped") {
+    val txt =
+      """User-agent: a
+        |User-agent: graftbot
+        |Disallow:    # empty value
+        |Disallow: /x  # trailing comment
+        |Sitemap: http://example.com/sitemap.xml
+        |
+        |User-agent: b
+        |Disallow: /
+        |""".stripMargin
+    val r = Robots.parse(txt, "graftbot")
+    assert(!r.isAllowed("/x/y"))
+    assert(r.isAllowed("/z"))
+  }
+
+  test("a User-agent line after rules starts a NEW group") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /one
+        |User-agent: other
+        |Disallow: /two
+        |""".stripMargin
+    val r = Robots.parse(txt, "graftbot")
+    assert(!r.isAllowed("/one/x"))
+    assert(r.isAllowed("/two/x"))
+  }
+
+  test("pathOf: authority stripped, query kept, no-path → /") {
+    assert(Robots.pathOf("http://user@h.com:8080/p/3?q=1") == "/p/3?q=1")
+    assert(Robots.pathOf("https://h.com") == "/")
+    assert(Robots.pathOf("relative/x") == "/")
+  }
+
+  test("fixture synth: crawl-delay equals the Politeness formula; deny rule = len%3") {
+    for (host <- Seq("dup.example.com", "hot0.example.com", "www.h5.example.com", "93.184.216.4")) {
+      val r = Robots.parse(Robots.synthTxt(host))
+      assert(r.crawlDelayMs.contains(Politeness.delayMs(host)), host)
+      val denies3 = !r.isAllowed("/p/31")
+      assert(denies3 == (host.length % 3 == 0), host)
+      assert(r.isAllowed("/p/41"), host) // only the /p/3 prefix is denied
+    }
+  }
+
+  test("property sweep: a denied prefix denies every extension of it") {
+    val rules = Robots.Rules(Vector(Robots.Rule(allow = false, "/p/3")), None)
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 200) {
+      val suffix = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+      assert(!rules.isAllowed("/p/3" + suffix))
+    }
+  }
+}
