@@ -41,10 +41,11 @@ object Fixtures {
   }
 
   /** The pages table for one sf dir: distinct fetchable seed URLs →
-    * page rows (minus fetch misses). */
-  def pages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    * page rows (minus fetch misses). `rep` > 1 scales the population
+    * for benchmarks ([[Synth.seeds]]). */
+  def pages(spark: SparkSession, sfDir: String, rep: Int = 1): Dataset[PageRow] = {
     import spark.implicits._
-    Synth.seeds(spark, sfDir)
+    Synth.seeds(spark, sfDir, rep)
       .where(expr(Synth.fetchableWhere))
       .select("url").distinct()
       .as[String]
@@ -52,6 +53,6 @@ object Fixtures {
   }
 
   /** Seeds with seq for one sf dir (engine input). */
-  def seeds(spark: SparkSession, sfDir: String): DataFrame =
-    Synth.seeds(spark, sfDir)
+  def seeds(spark: SparkSession, sfDir: String, rep: Int = 1): DataFrame =
+    Synth.seeds(spark, sfDir, rep)
 }

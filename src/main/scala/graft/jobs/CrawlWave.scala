@@ -56,7 +56,24 @@ object CrawlWave {
       robots: Boolean = true,
       agent: String = "graftbot",
       seenFilter: String = "bloom", // "bloom" | "cuckoo"
-      cuckooCapacityPerPartition: Int = 1 << 20)
+      cuckooCapacityPerPartition: Int = 1 << 20,
+      // false when the caller already provides pages hash-partitioned by
+      // `url` and cached (avoids a second full copy in executor memory)
+      repartitionPages: Boolean = true,
+      // wave slices up to this many rows fetch via a BROADCAST join
+      // (pages streamed once from cache, never shuffled or sorted);
+      // larger slices fall back to the partitioned shuffle join —
+      // at the 10^10 design point both tables are bucketed by url and
+      // the shuffle join is already co-partitioned
+      broadcastFetchMaxRows: Long = 5000000L,
+      // overlap wave k's snapshot flush with wave k+1's compute. SAFE
+      // because planned waves are URL-disjoint (the seen anti-join never
+      // needs the in-flight delta) and commits stay strictly ordered
+      // (each awaits its predecessor before publishing). Off by default:
+      // step() then returns a PREDICTED version before the flush lands,
+      // so callers that read the store right after a step must await
+      // (runAll does; direct step() drivers in tests want sync mode).
+      pipelineCommits: Boolean = false)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
@@ -114,6 +131,12 @@ object CrawlWave {
       .toDF("wave", "part_id", "host", "urls", "errors", "render_mismatches", "text_bytes")
   }
 
+  /** Per-wave frontier state-change rows (seq → state at wave). */
+  def emptyDelta(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, String, Int)].toDF("seq", "state", "wave")
+  }
+
   /** Decode/liveness/render/extract for one fetched row — the whole
     * per-URL reference pipeline as a pure function (object-level so the
     * task closure serializes no driver state). */
@@ -149,29 +172,61 @@ final class CrawlWave(
   import CrawlWave._
   import spark.implicits._
 
-  /** Compiled robots cache, built from the CURRENT frontier's ready
-    * hosts (once per CrawlWave instance, not per wave; deterministic, so
-    * a resumed instance rebuilds the identical cache). */
-  private lazy val robotsCache: Option[org.apache.spark.broadcast.Broadcast[Map[String, Robots.Rules]]] =
-    if (!cfg.robots) None
-    else store.readLatest("frontier").map { f =>
-      val hosts = f.where(col("state").isin("ready", "denied_robots"))
-        .select("host").distinct().as[String].collect().toSeq
-      Robots.broadcastCache(spark, hosts, agent = cfg.agent)
-    }
+  /** Pages pre-partitioned by the fetch-join key ONCE and cached, so
+    * every wave's join reuses the partitioning (only the small wave
+    * slice shuffles — at the 10^10 design point this is bucketing on
+    * `url` of the pages table). */
+  private lazy val pagesByUrl: DataFrame =
+    if (cfg.repartitionPages) pages.repartition(cfg.partitions, col("url")).cache()
+    else pages
 
-  private def robotsDelays: Option[DataFrame] =
-    robotsCache.map(bc => Robots.table(spark, bc.value))
+  /** The page-url membership set, broadcast ONCE per crawl — the
+    * fetch-miss test on the broadcast fast path (a per-wave anti-join
+    * would rebuild a hashed relation of all page urls every wave). At
+    * the 10^10 design point this set is not broadcastable and the
+    * partitioned-join slow path's left join covers misses instead. */
+  private lazy val pagesUrlSet: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
+    val urls = pagesByUrl.select("url").as[String].collect() // one parallel job
+    val set = new java.util.HashSet[String](urls.length * 2)
+    urls.foreach(set.add)
+    spark.sparkContext.broadcast(set)
+  }
 
-  /** Commit snapshot v1 (frontier init + empty state) unless the store
-    * already has a snapshot to resume from. Returns the start version.
-    * Robots deny happens here: `ready` rows whose path the host's
-    * robots.txt disallows become `denied_robots` + an error row — the
-    * broadcast robots cache is consulted row-locally, no shuffle. */
+  // plan state (rebuilt deterministically on resume)
+  private var plan: DataFrame = _
+  private var planMaxWave: Int = -1
+  private var nextWave: Int = 0
+  private var waveSizes: Map[Int, Long] = Map.empty
+  // serialized seen-filter blobs carried between waves (store-backed)
+  private var blobState: Array[(Int, Array[Byte])] = _
+  // in-flight async commit (pipelineCommits mode)
+  private var pending: Option[scala.concurrent.Future[Int]] = None
+
+  /** Await and clear the in-flight commit, returning its version. */
+  private def awaitPending(): Option[Int] = {
+    import scala.concurrent.{Await, duration}
+    val r = pending.map(f => Await.result(f, duration.Duration.Inf))
+    pending = None
+    r
+  }
+
+  /** Commit snapshot v1 — the CRAWL PLAN — unless the store already has
+    * a snapshot to resume from. Returns the start version.
+    *
+    * Planning happens once, not per wave:
+    *  - robots deny (broadcast cache, row-local check; denied rows →
+    *    `denied_robots` + error rows);
+    *  - the politeness token-bucket schedule assigns every allowed ready
+    *    row its wave number (ONE window shuffle by host for the whole
+    *    crawl — the greedy per-wave re-rank provably selects the same
+    *    rows, see CrawlSpec "static politeness window schedule").
+    * New URLs discovered mid-crawl would re-enter through a re-plan of
+    * the not-yet-scheduled remainder (same code path, next generation).
+    */
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
     val frontier0 = initFrontier(seeds)
-    val frontier =
-      if (!cfg.robots) frontier0
+    val (denied, delays) =
+      if (!cfg.robots) (frontier0, None)
       else {
         val hosts = frontier0.where(col("state") === "ready")
           .select("host").distinct().as[String].collect().toSeq
@@ -179,10 +234,18 @@ final class CrawlWave(
         val deniedUdf = udf { (host: String, url: String) =>
           !bc.value.getOrElse(host, Robots.allowAll).isAllowed(Robots.pathOf(url))
         }
-        frontier0.withColumn("state",
+        (frontier0.withColumn("state",
           when(col("state") === "ready" && deniedUdf(col("host"), col("url")),
-            lit("denied_robots")).otherwise(col("state")))
+            lit("denied_robots")).otherwise(col("state"))),
+          Some(Robots.table(spark, bc.value)))
       }
+    val scheduled = Politeness
+      .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs, delays)
+      .withColumn("wave", col("rel_wave"))
+      .drop("host_rank", "tokens", "rel_wave")
+    // cache: the commit write AND the seeds count both consume the plan
+    val frontier = denied.where(col("state") =!= "ready")
+      .unionByName(scheduled).cache()
     val initErrors = frontier
       .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
       .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
@@ -193,36 +256,57 @@ final class CrawlWave(
         lit(null).cast("string").as("text"),
         lit(null).cast("array<double>").as("features"),
         lit(false).as("render_match"))
-    store.commit(
+    val v = store.commit(
       replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
       append = Map(
         "seen" -> emptySeen(spark),
         "samples" -> emptyOutcomes(spark).limit(0),
         "errors" -> initErrors,
-        "metrics" -> emptyMetrics(spark)),
+        "metrics" -> emptyMetrics(spark),
+        "frontier_delta" -> emptyDelta(spark)),
       metrics = Map("wave" -> -1L, "seeds" -> frontier.count()))
+    frontier.unpersist()
+    v
   }
 
-  /** Run one wave; returns the committed version, or None when the
-    * frontier is drained. */
+  /** Load (or reload after resume) the plan + wave cursor from the
+    * store — deterministic, so a crashed run's successor continues
+    * identically. O(1 plan read + 1 delta max), once per instance. */
+  private def ensurePlan(v: Int): Unit = {
+    if (plan != null) return
+    plan = store.read("frontier", v).cache()
+    waveSizes = plan.where(col("state") === "ready")
+      .groupBy("wave").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    planMaxWave = if (waveSizes.isEmpty) -1 else waveSizes.keys.max
+    val dw = store.read("frontier_delta", v).agg(max("wave")).head
+    nextWave = if (dw.isNullAt(0)) 0 else dw.getInt(0) + 1
+  }
+
+  private def cleanup(): Unit = {
+    if (plan != null) { plan.unpersist(); plan = null }
+  }
+
+  /** Run one planned wave; returns the committed version, or None when
+    * the plan is exhausted (the final call also reconciles and rewrites
+    * the full `frontier` table — the only O(frontier) write after v1). */
   def step(): Option[Int] = {
     val v = store.latestVersion.getOrElse(
       throw new IllegalStateException("call init() first"))
-    val frontier = store.read("frontier", v).cache()
-    val ready = frontier.where(col("state") === "ready")
-    if (ready.isEmpty) { frontier.unpersist(); return None }
-    val wave = (v - 1) // wave k is committed as version k+1
+    ensurePlan(v)
+    if (nextWave > planMaxWave) { awaitPending(); cleanup(); return None }
+    val wave = nextWave
+    val slice = plan.where(col("state") === "ready" && col("wave") === wave)
 
-    // 1. politeness gating (crawl delays from the robots cache)
-    val selected = Politeness.eligibleNow(
-      Politeness.schedule(ready, cfg.wavePeriodMs, robotsDelays))
-
-    // 2. seen-set guard: Bloom/cuckoo pre-filter (broadcast blobs
+    // 1. seen-set guard: Bloom/cuckoo pre-filter (broadcast blobs
     // maintained INCREMENTALLY in the snapshot — read is O(blobs), not
-    // O(seen))
+    // O(seen)); exact anti-join only for the filter's false positives.
+    // Blobs are carried in memory between waves (store read only on the
+    // first wave of an instance / after resume).
     val seen = store.read("seen", v)
-    val blobs = store.read("seen_bloom", v)
-      .as[(Int, Array[Byte])].collect()
+    val blobs: Array[(Int, Array[Byte])] =
+      if (blobState != null) blobState
+      else store.read("seen_bloom", v).as[(Int, Array[Byte])].collect()
     val filterKind = cfg.seenFilter
     val filterMap: Map[Int, SeenFilter] =
       blobs.map { case (p, b) => p -> SeenFilter.deserialize(filterKind, b) }.toMap
@@ -231,66 +315,74 @@ final class CrawlWave(
     val mightContainUdf = udf { (h: Long) =>
       bloomBc.value.get(java.lang.Math.floorMod(h, P.toLong).toInt).exists(_.mightContain(h))
     }
-    val flagged = selected.withColumn("maybe_seen", mightContainUdf(col("url_hash")))
+    val flagged = slice.withColumn("maybe_seen", mightContainUdf(col("url_hash")))
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
     val toFetch = clean.unionByName(suspects).cache()
 
-    // 3. skew: salt + spread the wave's work
-    val spreadRows = Skew.spread(Skew.salt(toFetch, cfg.rowsPerSalt), cfg.partitions)
+    // 2./3. fetch = left join pages on url (misses become error rows).
+    // Fast path (wave slice within broadcast budget): broadcast the
+    // slice keys and STREAM pages from cache — the pages side is never
+    // shuffled or sorted, and the join output inherits the balanced
+    // url-hash partitioning of the cache (host skew cannot survive a
+    // url-hash layout, so no salting needed here). Slow path (huge
+    // slices / real clusters with bucketed tables): salt + spread the
+    // slice, partitioned join.
+    // route on the plan's precomputed wave size (bloom guard only ever
+    // shrinks the slice) — no extra counting job per wave
+    val sliceRows = waveSizes.getOrElse(wave, 0L)
+    val joined =
+      if (sliceRows <= cfg.broadcastFetchMaxRows) {
+        val fetched = pagesByUrl.alias("p")
+          .join(broadcast(toFetch.select("seq", "url", "host").alias("f")),
+            col("f.url") === col("p.url"), "inner")
+          .select(col("f.seq").as("seq"), col("f.url").as("url"),
+            col("f.host").as("host"),
+            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
+            col("p.text").as("text"))
+        val inPages = pagesUrlSet
+        val missUdf = udf { (u: String) => !inPages.value.contains(u) }
+        val misses = toFetch.where(missUdf(col("url")))
+          .select(col("seq"), col("url"), col("host"),
+            lit(null).cast("timestamp").as("warc_ts"),
+            lit(null).cast("binary").as("html"),
+            lit(null).cast("string").as("text"))
+        fetched.unionByName(misses)
+      } else {
+        val spreadRows = Skew.spread(Skew.salt(toFetch, cfg.rowsPerSalt), cfg.partitions)
+        spreadRows.alias("f")
+          .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
+          .select(col("f.seq").as("seq"), col("f.url").as("url"),
+            col("f.host").as("host"),
+            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
+            col("p.text").as("text"))
+      }
 
-    // 4. fetch = left join pages on url (left → misses become error rows)
-    val joined = spreadRows.alias("f")
-      .join(pages.alias("p"), col("f.url") === col("p.url"), "left")
-      .select(col("f.seq").as("seq"), col("f.url").as("url"),
-        col("f.host").as("host"),
-        col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-        col("p.text").as("text"))
-
-    // 5. decode → liveness → render → byte-identity → features (one map)
+    // 4. decode → liveness → render → byte-identity → features (one map)
     val outcomes = joined.as[FetchRow].map(CrawlWave.fetchOutcome(_, wave)).cache()
 
     val samplesNew = outcomes.where(col("ok")).toDF()
     val errorsNew = outcomes.where(!col("ok")).toDF()
 
-    // 6. state updates + snapshot commit
-    val selectedKeys = toFetch.select(col("seq").as("sel_seq"),
-      col("url_hash").as("sel_hash"))
-    val errSeqs = errorsNew.select(col("seq").as("sel_seq"), lit(true).as("was_err"))
-    val frontier2 = frontier
-      .join(selectedKeys, col("seq") === col("sel_seq"), "left")
-      .join(errSeqs, Seq("sel_seq"), "left")
-      .withColumn("state",
-        when(col("sel_seq").isNotNull && col("was_err"), lit("error"))
-          .when(col("sel_seq").isNotNull, lit("done"))
-          .otherwise(col("state")))
-      .withColumn("wave",
-        when(col("sel_seq").isNotNull, lit(wave)).otherwise(col("wave")))
-      .drop("sel_seq", "sel_hash", "was_err")
+    // 5. frontier DELTA: one small join on the wave slice only —
+    // the full frontier is never rescanned or rewritten per wave
+    val frontierDelta = slice.select(col("seq"), col("wave"))
+      .join(outcomes.select(col("seq"), col("ok")), Seq("seq"), "left")
+      .select(col("seq"),
+        when(col("ok").isNull, lit("skipped_seen"))
+          .when(col("ok"), lit("done"))
+          .otherwise(lit("error")).as("state"),
+        col("wave"))
 
     // seen DELTA (append) + incremental filter blob update: each touched
     // partition's filter is rebuilt DISTRIBUTED (copy of the broadcast
     // old blob + this wave's delta keys inserted in the executor);
-    // untouched partitions keep their blob verbatim. Blobs are small and
-    // fixed-size; partitions scale with the frontier.
+    // untouched partitions keep their blob verbatim.
     val seenDelta = toFetch
       .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
     val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
     val cuckooCap = cfg.cuckooCapacityPerPartition
-    val updatedBlobs = seenDelta.as[(Int, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (p, it) =>
-        val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
-          SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
-        it.foreach(t => f.put(t._2))
-        (p, f.serialize)
-      }
-      .collect()
-    val touched = updatedBlobs.map(_._1).toSet
-    val mergedBlobs = updatedBlobs.toSeq ++
-      blobs.filter { case (p, _) => !touched.contains(p) }
-    val blobsDf = spark.createDataset(mergedBlobs).toDF("part", "blob")
 
     // per-partition × per-host lineage metrics (north_rule): one
     // aggregation over the cached outcomes feeds both the `metrics`
@@ -304,23 +396,79 @@ final class CrawlWave(
         sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L)).as("render_mismatches"),
         sum(when(col("ok"), length(col("text"))).otherwise(0L)).as("text_bytes"))
       .cache()
-    val stats = metricsNew.agg(
-      sum("urls"), sum("errors"), sum("render_mismatches")).head
+
+    // the filter-blob rebuild (over toFetch's cache) and the extraction
+    // + metrics job (materializing outcomes) are independent — run them
+    // as CONCURRENT Spark jobs so neither serializes the wave
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val blobsF = Future {
+      seenDelta.as[(Int, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (p, it) =>
+          val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
+            SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
+          it.foreach(t => f.put(t._2))
+          (p, f.serialize)
+        }
+        .collect()
+    }
+    val statsF = Future {
+      metricsNew.agg(sum("urls"), sum("errors"), sum("render_mismatches")).head
+    }
+    val updatedBlobs = Await.result(blobsF, Duration.Inf)
+    val stats = Await.result(statsF, Duration.Inf)
+    val touched = updatedBlobs.map(_._1).toSet
+    val mergedBlobs = updatedBlobs ++
+      blobs.filter { case (p, _) => !touched.contains(p) }
+    val blobsDf = spark.createDataset(mergedBlobs.toSeq).toDF("part", "blob")
     def longAt(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
     val nSel = longAt(0); val nErr = longAt(1); val nMismatch = longAt(2)
-    val committed = store.commit(
-      replace = Map("frontier" -> frontier2, "seen_bloom" -> blobsDf),
-      append = Map("seen" -> seenDelta, "samples" -> samplesNew,
-        "errors" -> errorsNew, "metrics" -> metricsNew),
-      metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
-        "errors" -> nErr, "render_mismatches" -> nMismatch),
-      rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
-      expectedParent = Some(v))
-    outcomes.unpersist(); toFetch.unpersist(); frontier.unpersist()
-    metricsNew.unpersist()
+
+    // 6. commit — compute above overlapped the PREVIOUS wave's flush;
+    // now order the publishes: await the predecessor, then commit this
+    // wave (async unless it's the last wave or pipelining is off)
+    val parent = awaitPending().getOrElse(v)
+    val isLast = wave == planMaxWave
+    val replaceTables =
+      if (!isLast) Map("seen_bloom" -> blobsDf)
+      else {
+        // final wave → reconcile the full frontier once (plan + deltas)
+        val allDeltas = store.read("frontier_delta", parent)
+          .unionByName(frontierDelta)
+          .select(col("seq"), col("state").as("d_state"))
+        val finalFrontier = plan
+          .join(allDeltas, Seq("seq"), "left")
+          .withColumn("state", coalesce(col("d_state"), col("state")))
+          .drop("d_state")
+        Map("seen_bloom" -> blobsDf, "frontier" -> finalFrontier)
+      }
+
+    def doCommit(): Int = {
+      val c = store.commit(
+        replace = replaceTables,
+        append = Map("seen" -> seenDelta, "samples" -> samplesNew,
+          "errors" -> errorsNew, "metrics" -> metricsNew,
+          "frontier_delta" -> frontierDelta),
+        metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
+          "errors" -> nErr, "render_mismatches" -> nMismatch),
+        rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
+        expectedParent = Some(parent))
+      outcomes.unpersist(); toFetch.unpersist(); metricsNew.unpersist()
+      c
+    }
+
+    blobState = mergedBlobs
+    nextWave += 1
+    val committed =
+      if (cfg.pipelineCommits && !isLast) {
+        pending = Some(Future(doCommit()))
+        parent + 1 // deterministic: commit publishes exactly this version
+      } else doCommit()
+    if (isLast) cleanup()
     Some(committed)
   }
-
 
   /** Drive waves to drain (or maxWaves); returns the final version. */
   def runAll(seeds: DataFrame): Int = {

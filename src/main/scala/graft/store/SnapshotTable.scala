@@ -70,12 +70,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     (replace.keySet intersect append.keySet).foreach { t =>
       throw new IllegalArgumentException(s"table $t in both replace and append")
     }
-    // write delta data dirs (overwrite → idempotent retry)
-    val written = (replace ++ append).map { case (name, df) =>
-      val dir = dataDir(name, v)
-      df.write.mode("overwrite").parquet(dir.toString)
-      name -> relative(dir)
-    }
+    // write delta data dirs (overwrite → idempotent retry); tables are
+    // independent, so the writes run as CONCURRENT Spark jobs — commit
+    // wall time is the slowest table, not the sum (the manifest publish
+    // below stays the single serial point, as in Iceberg)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val written = Await.result(
+      Future.sequence((replace ++ append).toSeq.map { case (name, df) =>
+        Future {
+          val dir = dataDir(name, v)
+          df.write.mode("overwrite").parquet(dir.toString)
+          name -> relative(dir)
+        }
+      }), Duration.Inf).toMap
 
     val tables: Map[String, Seq[String]] =
       (parentTables.keySet ++ written.keySet).map { name =>

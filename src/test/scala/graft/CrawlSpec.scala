@@ -156,6 +156,21 @@ class CrawlSpec extends AnyFunSuite {
     assert(waves(st2) == waves(store))
   }
 
+  test("pipelined commits produce the identical crawl (async flush, ordered publishes)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-pipe-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    new CrawlWave(spark, pages, st, cfg(4).copy(pipelineCommits = true))
+      .runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+    assert(st.readLatest("samples").get.count() ==
+      store.readLatest("samples").get.count())
+  }
+
   test("cuckoo seen-filter produces the identical crawl (bloom/cuckoo interchangeable)") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl-cuckoo-").toString
