@@ -107,6 +107,30 @@ object SparkEntry {
         .mkString("(", " OR ", ")")
   }
 
+  /** Spark-side materialization barrier for the schedule family: the
+    * chained hosted-CTE re-inlines the seeds CASE expression ~24× when
+    * Catalyst collapses the projections (blowing the 64KB codegen
+    * limit and forcing interpreted fallback), so the Spark side
+    * evaluates `hosted` ONCE into a cached view and runs the window SQL
+    * on top. DuckDB (which materializes CTE steps) keeps the original
+    * full-CTE oracle text — semantics identical. */
+  private def hostedView(s: SparkSession, dir: String): Unit = {
+    reg(s, dir)
+    // stage 1: evaluate the seeds CASE once; localCheckpoint is a HARD
+    // lineage barrier (plain cache substitution does not reliably stop
+    // the inlining here)
+    s.sql(withSeeds(s"$fetchableCte SELECT seq, url, priority FROM fetchable"))
+      .localCheckpoint(eager = true)
+      .createOrReplaceTempView("fetchable_m")
+    // stage 2: dedup aggregate + crawler-domain chain over plain columns
+    s.sql(
+      s"""WITH ${dedupCte.replace("FROM fetchable", "FROM fetchable_m")},
+         |${hostedCte}
+         |SELECT seq, url, priority, host FROM hosted""".stripMargin)
+      .localCheckpoint(eager = true)
+      .createOrReplaceTempView("hosted_m")
+  }
+
   // ----------------------------------------------------------- engine memo
 
   /** One full crawl-engine run per sf dir (snapshot root memoized so the
@@ -205,14 +229,13 @@ object SparkEntry {
     // ---------------- robots.txt deny (parse+match in Scala vs SQL rule)
     "robots_filter" -> Q(
       (s, dir) => {
-        reg(s, dir)
+        hostedView(s, dir)
         val allowedUdf = udf { (host: String, url: String) =>
           graft.frontier.Robots
             .parse(graft.frontier.Robots.synthTxt(host))
             .isAllowed(graft.frontier.Robots.pathOf(url))
         }
-        s.sql(withSeeds(
-          s"$fetchableCte, $dedupCte, $hostedCte SELECT seq, url, host FROM hosted"))
+        s.sql("SELECT seq, url, host FROM hosted_m")
           .withColumn("allowed", when(allowedUdf(col("host"), col("url")), 1).otherwise(0))
       },
       Some(Synth.duck(withSeeds(
@@ -223,15 +246,31 @@ object SparkEntry {
            |FROM hosted""".stripMargin)))),
 
     // ---------------- politeness schedule + crawl order (window family)
-    "w_politeness_schedule" -> shared(withSeeds(
-      s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
-         |SELECT seq, url, priority, host, host_rank, tokens, wave FROM scheduled""".stripMargin)),
+    "w_politeness_schedule" -> Q(
+      (s, dir) => {
+        hostedView(s, dir)
+        s.sql(
+          s"""WITH ${allowedCte.replace("FROM hosted", "FROM hosted_m")}, $scheduledCte
+             |SELECT seq, url, priority, host, host_rank, tokens, wave FROM scheduled""".stripMargin)
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
+           |SELECT seq, url, priority, host, host_rank, tokens, wave FROM scheduled""".stripMargin)))),
 
-    "w_crawl_order" -> shared(withSeeds(
-      s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
-         |SELECT seq, url, wave,
-         |  cast(row_number() OVER (ORDER BY wave, priority, seq) as bigint) AS position
-         |FROM scheduled""".stripMargin)),
+    "w_crawl_order" -> Q(
+      (s, dir) => {
+        hostedView(s, dir)
+        s.sql(
+          s"""WITH ${allowedCte.replace("FROM hosted", "FROM hosted_m")}, $scheduledCte
+             |SELECT seq, url, wave,
+             |  cast(row_number() OVER (ORDER BY wave, priority, seq) as bigint) AS position
+             |FROM scheduled""".stripMargin)
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
+           |SELECT seq, url, wave,
+           |  cast(row_number() OVER (ORDER BY wave, priority, seq) as bigint) AS position
+           |FROM scheduled""".stripMargin)))),
 
     // ---------------- the LIVE engine vs the static SQL schedule
     "crawl_engine_waves" -> Q(
@@ -250,11 +289,19 @@ object SparkEntry {
            |SELECT count(*) AS seen_count FROM allowed""".stripMargin)))),
 
     // ---------------- skew plan (A: salting)
-    "skew_salt_plan" -> shared(withSeeds(
-      s"""$fetchableCte, $dedupCte, $hostedCte
-         |SELECT host, count(*) AS cnt,
-         |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
-         |FROM hosted GROUP BY host""".stripMargin)),
+    "skew_salt_plan" -> Q(
+      (s, dir) => {
+        hostedView(s, dir)
+        s.sql(
+          """SELECT host, count(*) AS cnt,
+            |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
+            |FROM hosted_m GROUP BY host""".stripMargin)
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte
+           |SELECT host, count(*) AS cnt,
+           |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
+           |FROM hosted GROUP BY host""".stripMargin)))),
 
     // ---------------- URL features (§2.6), Scala vs independent SQL
     "url_features" -> Q(
