@@ -90,25 +90,62 @@ object Bench {
     val urlsPerSec = urls / crawlSec
 
     // Scaling evidence (on unless SPARK_GRAFT_SCALING=0): the same crawl
-    // at N and 4N cores, same input, same JVM (JIT already warm from the
-    // run above). N defaults to 2: this VM's per-core throughput
-    // collapses beyond ~8-16 busy threads (measured — see BASELINE.md),
-    // so 2→8 is the window where hardware parallelism is actually
-    // available; the 32-core point is also reported for the curve.
+    // at N and 4N cores, same input, each level in a FRESH FORKED JVM
+    // (sequential sessions in one JVM degrade progressively and would
+    // contaminate the comparison; BenchOne warms JIT before measuring).
+    // N defaults to 2: this VM's per-core throughput collapses beyond
+    // ~8-16 busy threads (measured — see BASELINE.md), so 2→8 is the
+    // window where hardware parallelism is actually available; the
+    // 32-core point is also reported for the curve.
     val scaling: String =
       if (!sys.env.get("SPARK_GRAFT_SCALING").contains("0")) {
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "2").toInt
         val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "4").toInt
-        def runAt(cpus: Int): (Long, Double) = {
-          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-          val s = session(cpus)
-          val r = crawlRun(s, sfDir, rep)
-          s.stop()
-          r
-        }
         spark.stop()
-        val (uN, tN) = runAt(n)
-        val (u4, t4) = runAt(4 * n)
+        def runAt(cpus: Int): (Long, Double) = {
+          val javaBin = System.getProperty("java.home") + "/bin/java"
+          val opens = Seq(
+            "java.base/java.lang", "java.base/java.lang.invoke",
+            "java.base/java.lang.reflect", "java.base/java.io",
+            "java.base/java.net", "java.base/java.nio",
+            "java.base/java.util", "java.base/java.util.concurrent",
+            "java.base/java.util.concurrent.atomic",
+            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+            "java.base/sun.security.action", "java.base/sun.util.calendar"
+          ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+          val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")
+          // pin the child to exactly `cpus` cores when taskset exists —
+          // local[N] alone lets GC/IO threads spill onto extra cores,
+          // which flatters low-N points and adds run-to-run noise
+          val pin =
+            if (new java.io.File("/usr/bin/taskset").exists())
+              Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+            else Seq.empty
+          val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
+            s"-Xmx$mem", "-Dspark.ui.enabled=false",
+            "-cp", System.getProperty("java.class.path"),
+            "graft.BenchOne", sfDir, cpus.toString, rep.toString)
+          val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes())
+          proc.waitFor()
+          out.linesIterator.find(_.startsWith("RESULT ")) match {
+            case Some(line) =>
+              val parts = line.split(" ")
+              (parts(1).toLong, parts(2).toDouble)
+            case None =>
+              System.err.println(s"[bench] BenchOne at $cpus cores failed:\n$out")
+              (0L, Double.NaN)
+          }
+        }
+        // shared-host noise spans up to 1.5x between identical runs —
+        // the N/4N pair is best-of-2 (interleaved), the 32 point single
+        def best2(cpus: Int): (Long, Double) = {
+          val a = runAt(cpus); val b = runAt(cpus)
+          if (a._2 <= b._2) a else b
+        }
+        val (uN, tN) = best2(n)
+        val (u4, t4) = best2(4 * n)
         val (u32, t32) = runAt(32)
         val eff = (tN / t4) / 4.0
         s""","scaling":{"rep":$rep,"urls":$uN,"n_cores":$n,"n_sec":$tN,"n_urls_per_sec":${uN / tN},"n4_cores":${4 * n},"n4_sec":$t4,"n4_urls_per_sec":${u4 / t4},"efficiency_n_to_4n":$eff,"local32_sec":$t32,"local32_urls_per_sec":${u32 / t32}}"""

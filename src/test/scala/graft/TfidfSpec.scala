@@ -130,3 +130,23 @@ class FeatureVectorsSpec extends AnyFunSuite {
     assert(rows.contains(Seq(0.5, 1.0)))
   }
 }
+
+class TermFileSpec extends AnyFunSuite {
+  import java.nio.file.Files
+
+  test("round trip in the reference's exact shape; refuses overwrite") {
+    val dir = Files.createTempDirectory("tf-")
+    val p = dir.resolve("tfidf 50% term")
+    TermFile.write(p, Seq(0, 2, 5), Seq("verify", "account", "login"))
+    assert(Files.readString(p) == "[0, 2, 5]\nverify account login")
+    val (idx, terms) = TermFile.read(p)
+    assert(idx == Vector(0, 2, 5) && terms == Vector("verify", "account", "login"))
+    intercept[IllegalStateException] { TermFile.write(p, Seq(1), Seq("x")) }
+  }
+
+  test("parses the shipped reference corpora shape") {
+    val (idx, terms) = TermFile.parse("[0, 1, 2]\nfoo bar baz")
+    assert(idx == Vector(0, 1, 2) && terms == Vector("foo", "bar", "baz"))
+    assert(TermFile.parse("[]\n")._2.isEmpty)
+  }
+}
