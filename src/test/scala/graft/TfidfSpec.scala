@@ -150,3 +150,14 @@ class TermFileSpec extends AnyFunSuite {
     assert(TermFile.parse("[]\n")._2.isEmpty)
   }
 }
+
+class TitlesSpec extends AnyFunSuite {
+  test("title-list scan keeps blank lines as empty titles, strips each, preserves order") {
+    val spark = SparkTestBase.spark
+    val p = java.nio.file.Files.createTempDirectory("titles-").resolve("t.txt")
+    java.nio.file.Files.writeString(p, "  Verify your account \n\nWelcome page\n")
+    val rows = graft.sources.Titles.read(spark, p.toString)
+      .orderBy("idx").collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("Verify your account", "", "Welcome page"))
+  }
+}
