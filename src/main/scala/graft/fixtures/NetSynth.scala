@@ -47,7 +47,26 @@ object NetSynth {
 
   val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
 
-  def forUrl(url: String): Synth = {
+  /** Content-type alone (cheap) — lets the engine pick the decode
+    * charset before synthesizing the rest. */
+  def contentTypeOf(url: String): String = {
+    val hm = pos(urlSeed(url), 100)
+    if (hm == 8) "application/pdf"
+    else if (hm == 10) "image/png"
+    else "text/html; charset=utf-8"
+  }
+
+  def forUrl(url: String): Synth = forUrlImpl(url, None)
+
+  /** Engine-path variant: skips building the synthetic page BODY
+    * (the engine decodes the real `html` bytes instead — building the
+    * body here was pure per-row allocation waste) but still needs the
+    * decoded content's length for the Content-Length header the render
+    * must reproduce byte-identically. `content` is null in the result. */
+  def forUrlNoBody(url: String, contentLength: Int): Synth =
+    forUrlImpl(url, Some(contentLength))
+
+  private def forUrlImpl(url: String, lenOverride: Option[Int]): Synth = {
     val h = urlSeed(url)
     val domain = Canonicalize.crawlerDomain(url)
     val hm = pos(h, 100)
@@ -70,6 +89,7 @@ object NetSynth {
       else s"Welcome to $domain page ${pos(h, 9)}"
 
     // ---- page body: exercises every extractor branch deterministically
+    val content: String = if (lenOverride.isDefined) null else {
     val sb = new StringBuilder
     sb ++= "<html><head>\n"
     sb ++= s"<title>$title</title>\n"
@@ -109,7 +129,9 @@ object NetSynth {
     if (pos(h, 6) == 0) sb ++= "document.write('<form name=\"x\">');\n"
     sb ++= "var t = 1;\n</script>\n"
     sb ++= "</body></html>\n"
-    val content = sb.result()
+    sb.result()
+    }
+    val contentLen = lenOverride.getOrElse(content.length)
 
     // ---- DNS / host / whois stdout
     val serialKind = pos(h, 4)
@@ -146,7 +168,7 @@ object NetSynth {
     val baseHeaders = Vector(
       "Content-Type" -> contentType,
       "Server" -> s"nginx/1.${pos(h, 20)}",
-      "Content-Length" -> content.length.toString)
+      "Content-Length" -> contentLen.toString)
     val finalHop = HeaderHop(url, 11, finalStatus,
       if (finalStatus == 200) "OK" else if (finalStatus == 404) "Not Found" else "Service Unavailable",
       baseHeaders)

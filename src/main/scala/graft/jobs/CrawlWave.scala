@@ -146,9 +146,14 @@ object CrawlWave {
       Outcome(r.seq, r.url, r.host, wave, ok = false, "fetch failed (no response)",
         null, null, render_match = false)
     case Some(bytes) =>
-      val synth = NetSynth.forUrl(r.url) // sandbox S5: per-row deterministic net info
-      val content = CharsetDecode.decode(bytes,
-        CharsetDecode.headerCharset(synth.contentType))
+      // sandbox S5: per-row deterministic net info. The page BODY is
+      // decoded from the fetched bytes — forUrlNoBody skips the
+      // synthesizer's own body construction (pure allocation waste on
+      // the hot path; Content-Length comes from the decoded length,
+      // identical by utf-8 round trip).
+      val ct = NetSynth.contentTypeOf(r.url)
+      val content = CharsetDecode.decode(bytes, CharsetDecode.headerCharset(ct))
+      val synth = NetSynth.forUrlNoBody(r.url, content.length)
       val verdict = Liveness.isAlive(Some(synth.contentType), content, synth.status)
       if (!verdict.alive)
         Outcome(r.seq, r.url, r.host, wave, ok = false, verdict.err, null, null, render_match = false)
