@@ -152,6 +152,71 @@ object SparkEntry {
     new SnapshotTable(s, root)
   }
 
+  // ------------------------------------------------- S9/S10/S11 file fixtures
+
+  /** Per-sf temp directory holding the file-format source fixtures
+    * (S9 title list, S10 JSONL vectors, S11 term file), generated ONCE
+    * per dir, deterministically, from the `documents` table — so the
+    * file-scan operators get real read paths while their EXPECTED
+    * content stays DuckDB-derivable from the same table. */
+  private val sourceFileRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Title threshold for the S11 term file (looser than term_select's
+    * 0.5 so several terms survive and the round trip is non-trivial). */
+  private val TermFileThreshold = 0.3
+
+  private def sourceFiles(s: SparkSession, dir: String): java.nio.file.Path = {
+    val root = sourceFileRoots.getOrElseUpdate(dir, {
+      import s.implicits._
+      reg(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sources-")
+      val docs = s.table("documents")
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"), col("text"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      // S9: one padded title line per doc (exercises the strip semantics)
+      val titles = docs.map { case (_, _, t) =>
+        "  " + t.replace('\n', ' ').replace('\r', ' ').replace('\t', ' ').take(40) + "  "
+      }
+      java.nio.file.Files.writeString(tmp.resolve("titles.txt"),
+        titles.mkString("", "\n", "\n"))
+      // S10: JSON arrays with a list at [-4] (the reference's splice
+      // case, train/lc-elm.py:188-191) + blank lines every 50 (skipped)
+      val jsonl = docs.flatMap { case (id, nChars, _) =>
+        val line = s"""[$id, $nChars, ${id % 2 == 0}, ["k"], ${id % 7}, ${id % 11}, ${id % 13}]"""
+        if (id % 50 == 0) Seq(line, "") else Seq(line)
+      }
+      java.nio.file.Files.writeString(tmp.resolve("vectors.jsonl"),
+        jsonl.mkString("", "\n", "\n"))
+      // S11: term file from the shared tokenize/select SQL at 0.3
+      val terms = s.sql(termSelectOnlySql(sparkTokSql, TermFileThreshold))
+        .as[String].collect().sorted.toSeq
+      graft.tfidf.TermFile.write(tmp.resolve("tfidf2 30% term"), terms.indices, terms)
+      tmp.toString
+    })
+    java.nio.file.Paths.get(root)
+  }
+
+  // shared tokenizer + selection SQL (spark/duck dialects)
+  private val sparkTokSql =
+    """SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
+      |WHERE term <> ''""".stripMargin
+  private val duckTokSql =
+    """SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+      |WHERE term <> ''""".stripMargin
+
+  /** Terms whose max tfidf ≥ `thresh` (A12 selection, term only). */
+  private def termSelectOnlySql(tok: String, thresh: Double): String =
+    s"""WITH tok AS ($tok),
+       |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
+       |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
+       |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
+       |mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)
+       |SELECT term FROM mx WHERE mx >= $thresh""".stripMargin
+
   // ----------------------------------------------------------- UDF helpers
 
   private val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
@@ -189,6 +254,49 @@ object SparkEntry {
          |  CASE WHEN url NOT LIKE 'http%' THEN 'skip this file(scheme)'
          |       ELSE 'skip this file' END AS err
          |FROM seeds WHERE NOT (${Synth.fetchableWhere})""".stripMargin)),
+
+    // ---------------- S9/S10/S11: file-format sources, round-tripped
+    // through real temp files and verified against the documents table
+    "s9_title_scan" -> Q(
+      (s, dir) => graft.sources.Titles.read(
+        s, sourceFiles(s, dir).resolve("titles.txt").toString),
+      Some(
+        """SELECT cast(row_number() OVER (ORDER BY doc_id) - 1 as bigint) AS line_no,
+          |  trim(substr(replace(replace(replace(text, chr(10), ' '), chr(13), ' '), chr(9), ' '), 1, 40)) AS title
+          |FROM documents""".stripMargin)),
+
+    "s10_vector_scan" -> Q(
+      (s, dir) => graft.sources.FeatureVectors.read(
+          s, sourceFiles(s, dir).resolve("vectors.jsonl").toString)
+        .select(
+          element_at(col("vec"), 1).cast("long").as("doc_id"),
+          size(col("vec")).cast("long").as("n_elems"),
+          element_at(col("vec"), 2).cast("long").as("n_chars_v"),
+          element_at(col("vec"), 3).cast("long").as("flag"),
+          (element_at(col("vec"), 4) + element_at(col("vec"), 5) +
+            element_at(col("vec"), 6)).cast("long").as("abc_sum")),
+      Some(
+        """SELECT doc_id, cast(6 as bigint) AS n_elems, n_chars AS n_chars_v,
+          |  cast(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END as bigint) AS flag,
+          |  cast(doc_id % 7 + doc_id % 11 + doc_id % 13 as bigint) AS abc_sum
+          |FROM documents""".stripMargin)),
+
+    "s11_term_file" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val (idx, terms) = graft.tfidf.TermFile.read(
+          sourceFiles(s, dir).resolve("tfidf2 30% term"))
+        s.createDataset(Seq((idx.size.toLong,
+            if (idx.isEmpty) -1L else idx.max.toLong,
+            terms.size.toLong, terms.mkString(" "))))
+          .toDF("n_indices", "max_idx", "n_terms", "terms_joined")
+      },
+      Some(
+        s"""WITH sel AS (${termSelectOnlySql(duckTokSql, TermFileThreshold)})
+           |SELECT count(*) AS n_indices, cast(count(*) - 1 as bigint) AS max_idx,
+           |  count(*) AS n_terms,
+           |  coalesce(string_agg(term, ' ' ORDER BY term), '') AS terms_joined
+           |FROM sel""".stripMargin)),
 
     // ---------------- §1.3: both canonicalizers, Scala vs independent SQL
     "p_crawler_domain" -> Q(
@@ -375,30 +483,50 @@ object SparkEntry {
            |  CASE WHEN length(domain) > 25 THEN 1 ELSE 0 END AS long_domain
            |FROM base""".stripMargin)))),
 
-    // ---------------- full extraction + byte identity (rows-only)
+    // ---------------- full extraction (rows-only: the vector itself is
+    // pure-Scala reference semantics; FeatureSpec holds the per-feature
+    // goldens). Output is SCALAR columns (the driver's pandas compare
+    // cannot sort array cells): vector length + a 64-bit fold of the
+    // micro-rounded features.
     "extract_features_full" -> rowsOnly((s, dir) => {
       import s.implicits._
       Fixtures.pages(s, dir)
         .filter((p: graft.model.PageRow) => p.text != null)
         .map { p =>
           val asOf = p.warc_ts.toInstant.getEpochSecond
-          (p.url, ExtractorSet5.extract(p.text, ExtractConfig(asOf)).toSeq)
-        }.toDF("url", "features")
+          val v = ExtractorSet5.extract(p.text, ExtractConfig(asOf))
+          var h = 1125899906842597L
+          var i = 0
+          while (i < v.length) {
+            h = 31 * h + java.lang.Long.hashCode(math.rint(v(i) * 1e6).toLong)
+            i += 1
+          }
+          (p.url, v.length.toLong, h)
+        }.toDF("url", "n_features", "features_hash64")
     }),
 
-    "byte_identity" -> rowsOnly((s, dir) => {
-      import s.implicits._
-      Fixtures.pages(s, dir).map { p =>
-        val content = CharsetDecode.decode(p.html, Some("utf-8"))
-        val synth = NetSynth.forUrl(p.url)
-        val rendered =
-          if (p.text == null) null
-          else SampleRender.render(p.url, content, synth.net)
-        (p.url, p.text != null,
-          p.text != null && rendered == p.text,
-          if (p.text != null) p.text.length.toLong else 0L)
-      }.toDF("url", "alive", "render_match", "text_len")
-    }),
+    // byte identity vs the golden `text` column, as ORACLE-ABLE counts:
+    // n_checked is SQL-derivable (distinct fetchable urls minus the
+    // md5-rule fetch misses, NetSynth.fetchMissSql) and the render
+    // invariant's expectation is exactly zero mismatches.
+    "byte_identity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Fixtures.pages(s, dir).map { p =>
+          val content = CharsetDecode.decode(p.html, Some("utf-8"))
+          val synth = NetSynth.forUrl(p.url)
+          val rendered =
+            if (p.text == null) null
+            else SampleRender.render(p.url, content, synth.net)
+          (1L, if (p.text != null && rendered != p.text) 1L else 0L)
+        }.toDF("checked", "mismatch")
+          .agg(sum("checked").as("n_checked"), sum("mismatch").as("n_mismatch"))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte,
+           |u AS (SELECT DISTINCT url FROM fetchable)
+           |SELECT count(*) AS n_checked, cast(0 as bigint) AS n_mismatch
+           |FROM u WHERE NOT ${NetSynth.fetchMissSql("url")}""".stripMargin)))),
 
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
     "tok_terms" -> split2(
@@ -625,11 +753,32 @@ object SparkEntry {
     }),
 
     // ---------------- multimodal plumbing (stubbed codec, real plumbing)
-    "multimodal_decode" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      Multimodal.decodeAll(Multimodal.synthAssets(s.table("documents")))
-        .drop("sampled_frames", "feature") // keep parquet-simple columns
-    }),
+    // The FakeCodec probe is md5-derived (PortableHash), so the decoded
+    // METADATA (the plumbing's observable output) is fully oracle-able;
+    // the embedding/frame arrays stay covered by OpsSpec.
+    "multimodal_decode" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Multimodal.decodeAll(Multimodal.synthAssets(s.table("documents")))
+          .drop("sampled_frames", "feature") // keep pandas-comparable scalars
+          .withColumn("width", col("width").cast("long"))
+          .withColumn("height", col("height").cast("long"))
+          .withColumn("n_frames", col("n_frames").cast("long"))
+      },
+      Some {
+        import graft.ops.PortableHash.int12Sql
+        s"""WITH a AS (SELECT doc_id AS asset_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           |  md5(text) AS hx FROM documents)
+           |SELECT asset_id, media_type, n_bytes,
+           |  cast(16 + ${int12Sql("hx", 0)} % 1024 as bigint) AS width,
+           |  cast(16 + ${int12Sql("hx", 3)} % 1024 as bigint) AS height,
+           |  cast(CASE WHEN media_type = 'video'
+           |            THEN 1 + ${int12Sql("hx", 6)} % 64 ELSE 1 END as bigint) AS n_frames
+           |FROM a""".stripMargin
+      }),
 
     // ---------------- event streams (graft.streaming, batch-checked)
     "events_hourly" -> Q(

@@ -41,9 +41,19 @@ object NetSynth {
 
   private def pos(h: Long, mod: Int): Int = java.lang.Math.floorMod(h, mod.toLong).toInt
 
-  /** Deterministic fetch outcome class of a URL:
-    * 0 = page absent from the pages table (fetch miss → error row). */
-  def isFetchMiss(url: String): Boolean = pos(urlSeed(url), 41) == 0
+  /** Deterministic fetch outcome class of a URL: true = page absent
+    * from the pages table (fetch miss → error row). md5-derived so the
+    * pages-table row count is SQL-derivable in BOTH engines (the
+    * `byte_identity` oracle): miss ⇔ first md5 hex digit is '0' and the
+    * second is < '7' (P = 7/256 ≈ 1/37). */
+  def isFetchMiss(url: String): Boolean = {
+    val hx = graft.ops.PortableHash.md5Hex(url)
+    hx.charAt(0) == '0' && hx.charAt(1) < '7'
+  }
+
+  /** The [[isFetchMiss]] rule as shared-dialect SQL over `urlCol`. */
+  def fetchMissSql(urlCol: String): String =
+    s"(substr(md5($urlCol), 1, 1) = '0' AND substr(md5($urlCol), 2, 1) < '7')"
 
   val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
 

@@ -53,7 +53,8 @@ final class Bloom(val bits: Array[Long], val numHashes: Int) extends SeenFilter 
   }
 
   def serialize: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + bits.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(2 + 8 + bits.length * 8)
+    bb.put(SeenFilter.KindBloom).put(SeenFilter.BlobVersion)
     bb.putInt(numHashes).putInt(bits.length)
     bits.foreach(bb.putLong)
     bb.array()
@@ -68,6 +69,7 @@ object Bloom {
 
   def deserialize(b: Array[Byte]): Bloom = {
     val bb = java.nio.ByteBuffer.wrap(b)
+    SeenFilter.checkHeader(bb, SeenFilter.KindBloom, "bloom")
     val k = bb.getInt(); val n = bb.getInt()
     val bits = Array.fill(n)(bb.getLong())
     new Bloom(bits, k)

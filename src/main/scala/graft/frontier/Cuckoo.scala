@@ -67,7 +67,12 @@ final class Cuckoo(
   def put(h: Long): Unit = {
     val fp = fpOf(h)
     val i1 = i1Of(h); val i2 = altOf(i1, fp)
-    if (bucketHas(i1, fp) || bucketHas(i2, fp)) return // already present
+    // duplicate fingerprint copies are ALLOWED (standard Fan et al.
+    // semantics, bounded by the bucket pair): two distinct keys
+    // colliding on (fp, bucket pair) each own a copy, so delete() of
+    // one never false-negatives the other — deduplicating here would
+    // leave one shared copy and break the no-false-negative contract
+    // for deleting callers.
     if (tryPlace(i1, fp) || tryPlace(i2, fp)) return
     // eviction walk, deterministically seeded by (h, kick)
     var curI = if ((mix(h) & 1L) == 0L) i1 else i2
@@ -107,8 +112,9 @@ final class Cuckoo(
   }
 
   /** Delete one copy of h's fingerprint (only call for keys actually
-    * inserted — standard cuckoo-filter contract). Returns true if
-    * something was removed. */
+    * inserted, once per matching put — standard cuckoo-filter
+    * contract; put() keeps one copy per insert so colliding keys stay
+    * independent). Returns true if something was removed. */
   def delete(h: Long): Boolean = {
     val fp = fpOf(h)
     def rm(b: Int): Boolean = {
@@ -130,7 +136,8 @@ final class Cuckoo(
   def copyOf: Cuckoo = new Cuckoo(table.clone(), bucketSize, maxKicks, stash.clone())
 
   def serialize: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(12 + table.length * 2 + 4 + stash.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(2 + 12 + table.length * 2 + 4 + stash.length * 8)
+    bb.put(SeenFilter.KindCuckoo).put(SeenFilter.BlobVersion)
     bb.putInt(bucketSize).putInt(maxKicks).putInt(table.length)
     table.foreach(bb.putShort)
     bb.putInt(stash.length)
@@ -157,6 +164,7 @@ object Cuckoo {
 
   def deserialize(b: Array[Byte]): Cuckoo = {
     val bb = java.nio.ByteBuffer.wrap(b)
+    SeenFilter.checkHeader(bb, SeenFilter.KindCuckoo, "cuckoo")
     val bs = bb.getInt(); val mk = bb.getInt(); val n = bb.getInt()
     val table = Array.fill(n)(bb.getShort())
     val sl = bb.getInt()

@@ -88,7 +88,12 @@ object Robots {
             val ms = try Some((value.toDouble * 1000).round) catch { case _: NumberFormatException => None }
             if (groupMatchesExact) { exactDelay = ms.orElse(exactDelay); sawExact = true }
             if (groupMatchesStar) starDelay = ms.orElse(starDelay)
-          case _ => inRules = true // sitemap etc. — ignore
+          // Non-group records (Sitemap etc.) are ignored WITHOUT closing
+          // the open agent-line run: per RFC 9309 / the Google parser,
+          // 'User-agent: a / Sitemap: … / User-agent: b / Disallow: /x'
+          // applies the rule to BOTH a and b. Only group rules flip
+          // inRules (the cases above).
+          case _ => ()
         }
       }
     }

@@ -15,6 +15,27 @@ trait SeenFilter extends Serializable {
 
 object SeenFilter {
 
+  /** Serialized blobs carry a (kind, version) header so a store written
+    * with one filter kind resumed under another FAILS FAST instead of
+    * silently misparsing into a garbage filter (pre-filter false
+    * negatives would follow — the one unacceptable seen-set error). */
+  val KindBloom: Byte = 'B'
+  val KindCuckoo: Byte = 'C'
+  val BlobVersion: Byte = 1
+
+  private[frontier] def checkHeader(
+      bb: java.nio.ByteBuffer, expected: Byte, name: String): Unit = {
+    val kind = bb.get(); val ver = bb.get()
+    if (kind != expected)
+      throw new IllegalArgumentException(
+        s"seen-filter blob kind mismatch: expected '$name' (${expected.toChar}) " +
+          s"but blob starts with '${kind.toChar}' — the store was written under " +
+          "a different cfg.seenFilter; refuse to resume")
+    if (ver != BlobVersion)
+      throw new IllegalArgumentException(
+        s"seen-filter blob version $ver unsupported (expected $BlobVersion)")
+  }
+
   /** A fresh filter of the configured kind. */
   def fresh(kind: String, bloomBits: Int, bloomHashes: Int, cuckooCapacity: Int): SeenFilter =
     kind match {

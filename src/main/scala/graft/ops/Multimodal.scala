@@ -22,14 +22,14 @@ object Multimodal {
   /** STUB codec — deterministic fake decode of a media blob. A real
     * implementation replaces exactly this object. */
   object FakeCodec {
-    /** "Decode" → (width, height, nFrames): pure function of the bytes. */
+    /** "Decode" → (width, height, nFrames): pure function of the bytes,
+      * md5-derived ([[PortableHash]]) so the decoded metadata is
+      * verifiable by the DuckDB oracle (`multimodal_decode`). */
     def probe(media: Array[Byte], mediaType: String): (Int, Int, Int) = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < media.length) { h = 31 * h + media(i); i += 1 }
-      val w = 16 + (math.abs(h % 1024)).toInt
-      val ht = 16 + (math.abs((h >>> 20) % 1024)).toInt
-      val frames = if (mediaType == "video") 1 + (math.abs((h >>> 40) % 64)).toInt else 1
+      val hx = PortableHash.md5HexBytes(media)
+      val w = 16 + PortableHash.int12(hx, 0) % 1024
+      val ht = 16 + PortableHash.int12(hx, 3) % 1024
+      val frames = if (mediaType == "video") 1 + PortableHash.int12(hx, 6) % 64 else 1
       (w, ht, frames)
     }
 

@@ -55,6 +55,12 @@ class ExtraSetsSpec extends AnyFunSuite {
     assert(f("http://shop.com.net.org/x", "get_multiple_tld") == 0.0)
     // but an uppercase domain CAN fire it
     assert(f("http://SHOP.COM.NET.ORG/x", "get_multiple_tld") == 1.0)
+    // the FULL IANA registry is carried (extractors3/url_feature.py:73-228)
+    assert(UrlFeatureSets.tlds.size == 1530)
+    assert(UrlFeatureSets.tlds.head == ".AAA" && UrlFeatureSets.tlds.last == ".ZW")
+    // multi-TLD positive from deep-registry entries (.ACCOUNTANTS ⊃ .AC
+    // and .ACCOUNTANT; .ABOGADO from the long tail)
+    assert(f("http://X.ACCOUNTANTS.ABOGADO/x", "get_multiple_tld") == 1.0)
     // path length after first '/' (exclusive of it)
     assert(f("http://e.com/abc", "get_path_domain_length") == 3.0)
     assert(f("http://e.com", "get_path_domain_length") == 0.0)

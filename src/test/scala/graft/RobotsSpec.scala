@@ -83,6 +83,27 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-group records (Sitemap) do not break user-agent adjacency (RFC 9309)") {
+    val txt =
+      """User-agent: graftbot
+        |Sitemap: http://h.com/sitemap.xml
+        |User-agent: other
+        |Disallow: /x
+        |""".stripMargin
+    // graftbot and other are ADJACENT agent lines (the sitemap record is
+    // not a group rule), so the Disallow applies to both
+    assert(!Robots.parse(txt, "graftbot").isAllowed("/x/1"))
+    // …while a rule line DOES close the run: graftbot keeps only its own
+    val txt2 =
+      """User-agent: graftbot
+        |Disallow: /a
+        |User-agent: other
+        |Disallow: /b
+        |""".stripMargin
+    val r2 = Robots.parse(txt2, "graftbot")
+    assert(!r2.isAllowed("/a/1") && r2.isAllowed("/b/1"))
+  }
+
   test("property sweep: a denied prefix denies every extension of it") {
     val rules = Robots.Rules(Vector(Robots.Rule(allow = false, "/p/3")), None)
     val rnd = new scala.util.Random(4242)

@@ -157,7 +157,9 @@ class TitlesSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("titles-").resolve("t.txt")
     java.nio.file.Files.writeString(p, "  Verify your account \n\nWelcome page\n")
     val rows = graft.sources.Titles.read(spark, p.toString)
-      .orderBy("idx").collect().map(_.getString(1)).toSeq
-    assert(rows == Seq("Verify your account", "", "Welcome page"))
+      .orderBy("line_no").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("Verify your account", "", "Welcome page"))
+    // line_no is the readlines() index: contiguous from 0
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 }
