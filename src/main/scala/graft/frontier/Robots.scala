@@ -149,4 +149,44 @@ object Robots {
       (h, r.crawlDelayMs.getOrElse(Politeness.delayMs(h)), r.rules.size)
     }.toSeq.toDF("host", "crawl_delay_ms", "n_rules")
   }
+
+  /** Per-host robots rules as a DISTRIBUTED joinable table
+    * `(host, robots_txt, crawl_delay_ms)` built from a hosts DataFrame —
+    * no driver collect at ANY host cardinality (the engine's robots
+    * path: the crawl joins this by host, and AQE broadcasts the build
+    * side automatically while it fits the threshold; beyond that it is
+    * a plain shuffled join). `fetch` runs on executors — the fixture
+    * synthesizer here, an HTTP robots GET in production. */
+  def rulesTable(
+      hosts: DataFrame,
+      fetch: String => String = synthTxt,
+      agent: String = "graftbot"): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    hosts.select("host").as[String].map { h =>
+      val txt = fetch(h)
+      val r = parse(txt, agent)
+      (h, txt, r.crawlDelayMs.getOrElse(Politeness.delayMs(h)))
+    }.toDF("host", "robots_txt", "crawl_delay_ms")
+  }
+
+  // per-task memoized parse (rules repeat across a host's rows after the
+  // robots join; robots.txt blobs are small, parse is cheap but not free)
+  private val parseMemo = new ThreadLocal[java.util.LinkedHashMap[String, Rules]] {
+    override def initialValue(): java.util.LinkedHashMap[String, Rules] =
+      new java.util.LinkedHashMap[String, Rules](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Rules]): Boolean =
+          size > 4096
+      }
+  }
+
+  /** [[parse]] with a thread-local LRU memo — the row-local check used
+    * after the [[rulesTable]] join. */
+  def cachedParse(txt: String, agent: String = "graftbot"): Rules = {
+    val key = agent + " " + txt
+    val m = parseMemo.get()
+    val got = m.get(key)
+    if (got != null) got
+    else { val r = parse(txt, agent); m.put(key, r); r }
+  }
 }

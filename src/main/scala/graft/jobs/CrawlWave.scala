@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   *  2. guard with the partitioned Bloom seen-set (broadcast blobs,
   *     row-local `mightContain`) + exact anti-join for the Bloom's
   *     false positives (shuffle by url_hash only for suspects);
-  *  3. salt and range-repartition by (host, salt) to defeat host skew
-  *     ([[Skew]]);
-  *  4. "fetch" = join against the `pages` table (the sandbox stand-in
-  *     for the HTTP GET, SURVEY.md S4 — the join is keyed by `url`,
-  *     broadcast or shuffled per AQE); a missing page row = fetch error;
+  *  3./4. "fetch" = ONE co-partitioned shuffled-hash LEFT join against
+  *     the url-bucketed `pages` table (the sandbox stand-in for the
+  *     HTTP GET, SURVEY.md S4): only the wave slice shuffles (hash by
+  *     url — uniform, so host skew cannot survive the layout), the
+  *     cached pages side is never re-shuffled or sorted, and the hash
+  *     builds on the slice side (BuildLeft); a missing page row (null
+  *     html) = fetch error;
   *  5. decode (charset ladder) → liveness screen → render sample text →
   *     byte-identity check vs the golden `text` column → feature
   *     extraction, all in ONE narrow typed map;
@@ -39,9 +41,12 @@ import org.apache.spark.sql.functions._
   * results are hash/range-partitioned tables — nothing is collected to
   * the driver except the Bloom blobs (`seenPartitions` × fixed blob
   * size — partitions scale out, blob size stays broadcastable) and the
-  * per-wave counters. Politeness windows shuffle by host (AQE splits
-  * skewed sort partitions); the fetch join carries only the wave's
-  * eligible slice, never the whole frontier.
+  * per-wave counters. Robots rules live in a DISTRIBUTED per-host table
+  * joined at plan time (AQE broadcasts it while small; no driver
+  * collect at any host cardinality). Politeness windows shuffle by host
+  * (AQE splits skewed sort partitions); the fetch join carries only the
+  * wave's eligible slice, never the whole frontier, and holds no
+  * O(pages) driver state.
   */
 object CrawlWave {
 
@@ -50,7 +55,6 @@ object CrawlWave {
       seenPartitions: Int = 32,
       bloomBitsPerPartition: Int = 1 << 22,
       bloomHashes: Int = 5,
-      rowsPerSalt: Long = 10000L,
       partitions: Int = 32,
       maxWaves: Int = 10000,
       robots: Boolean = true,
@@ -60,12 +64,6 @@ object CrawlWave {
       // false when the caller already provides pages hash-partitioned by
       // `url` and cached (avoids a second full copy in executor memory)
       repartitionPages: Boolean = true,
-      // wave slices up to this many rows fetch via a BROADCAST join
-      // (pages streamed once from cache, never shuffled or sorted);
-      // larger slices fall back to the partitioned shuffle join —
-      // at the 10^10 design point both tables are bucketed by url and
-      // the shuffle join is already co-partitioned
-      broadcastFetchMaxRows: Long = 5000000L,
       // overlap wave k's snapshot flush with wave k+1's compute. SAFE
       // because planned waves are URL-disjoint (the seen anti-join never
       // needs the in-flight delta) and commits stay strictly ordered
@@ -185,23 +183,10 @@ final class CrawlWave(
     if (cfg.repartitionPages) pages.repartition(cfg.partitions, col("url")).cache()
     else pages
 
-  /** The page-url membership set, broadcast ONCE per crawl — the
-    * fetch-miss test on the broadcast fast path (a per-wave anti-join
-    * would rebuild a hashed relation of all page urls every wave). At
-    * the 10^10 design point this set is not broadcastable and the
-    * partitioned-join slow path's left join covers misses instead. */
-  private lazy val pagesUrlSet: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
-    val urls = pagesByUrl.select("url").as[String].collect() // one parallel job
-    val set = new java.util.HashSet[String](urls.length * 2)
-    urls.foreach(set.add)
-    spark.sparkContext.broadcast(set)
-  }
-
   // plan state (rebuilt deterministically on resume)
   private var plan: DataFrame = _
   private var planMaxWave: Int = -1
   private var nextWave: Int = 0
-  private var waveSizes: Map[Int, Long] = Map.empty
   // serialized seen-filter blobs carried between waves (store-backed)
   private var blobState: Array[(Int, Array[Byte])] = _
   // in-flight async commit (pipelineCommits mode)
@@ -219,8 +204,11 @@ final class CrawlWave(
     * a snapshot to resume from. Returns the start version.
     *
     * Planning happens once, not per wave:
-    *  - robots deny (broadcast cache, row-local check; denied rows →
-    *    `denied_robots` + error rows);
+    *  - robots deny: a DISTRIBUTED per-host rules table
+    *    ([[Robots.rulesTable]]) left-joined by host (AQE broadcasts it
+    *    while small — no driver collect of hosts at any cardinality);
+    *    denied rows → `denied_robots` + error rows; the same join
+    *    carries each host's `Crawl-delay` into the schedule;
     *  - the politeness token-bucket schedule assigns every allowed ready
     *    row its wave number (ONE window shuffle by host for the whole
     *    crawl — the greedy per-wave re-rank provably selects the same
@@ -230,27 +218,29 @@ final class CrawlWave(
     */
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
     val frontier0 = initFrontier(seeds)
-    val (denied, delays) =
-      if (!cfg.robots) (frontier0, None)
+    val agent = cfg.agent
+    val denied =
+      if (!cfg.robots) frontier0.withColumn("crawl_delay_ms", lit(null).cast("long"))
       else {
-        val hosts = frontier0.where(col("state") === "ready")
-          .select("host").distinct().as[String].collect().toSeq
-        val bc = Robots.broadcastCache(spark, hosts, agent = cfg.agent)
-        val deniedUdf = udf { (host: String, url: String) =>
-          !bc.value.getOrElse(host, Robots.allowAll).isAllowed(Robots.pathOf(url))
+        val robots = Robots.rulesTable(
+          frontier0.where(col("state") === "ready").select("host").distinct(),
+          agent = agent)
+        val deniedUdf = udf { (txt: String, url: String) =>
+          txt != null && !Robots.cachedParse(txt, agent).isAllowed(Robots.pathOf(url))
         }
-        (frontier0.withColumn("state",
-          when(col("state") === "ready" && deniedUdf(col("host"), col("url")),
-            lit("denied_robots")).otherwise(col("state"))),
-          Some(Robots.table(spark, bc.value)))
+        frontier0.join(robots, Seq("host"), "left")
+          .withColumn("state",
+            when(col("state") === "ready" && deniedUdf(col("robots_txt"), col("url")),
+              lit("denied_robots")).otherwise(col("state")))
+          .drop("robots_txt")
       }
     val scheduled = Politeness
-      .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs, delays)
+      .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs)
       .withColumn("wave", col("rel_wave"))
       .drop("host_rank", "tokens", "rel_wave")
-    // cache: the commit write AND the seeds count both consume the plan
+    // cache: the commit write AND the stats action both consume the plan
     val frontier = denied.where(col("state") =!= "ready")
-      .unionByName(scheduled).cache()
+      .unionByName(scheduled).drop("crawl_delay_ms").cache()
     val initErrors = frontier
       .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
       .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
@@ -261,6 +251,10 @@ final class CrawlWave(
         lit(null).cast("string").as("text"),
         lit(null).cast("array<double>").as("features"),
         lit(false).as("render_match"))
+    // ONE stats action over the cached plan: seed count + the plan's
+    // last wave, both recorded in the manifest so the wave driver never
+    // re-aggregates the frontier (ensurePlan is zero Spark jobs)
+    val st = frontier.agg(count(lit(1)), max("wave")).head
     val v = store.commit(
       replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
       append = Map(
@@ -269,23 +263,22 @@ final class CrawlWave(
         "errors" -> initErrors,
         "metrics" -> emptyMetrics(spark),
         "frontier_delta" -> emptyDelta(spark)),
-      metrics = Map("wave" -> -1L, "seeds" -> frontier.count()))
+      metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0),
+        "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong)))
     frontier.unpersist()
     v
   }
 
-  /** Load (or reload after resume) the plan + wave cursor from the
-    * store — deterministic, so a crashed run's successor continues
-    * identically. O(1 plan read + 1 delta max), once per instance. */
+  /** Load (or reload after resume) the plan + wave cursor — fully from
+    * MANIFEST METADATA (zero Spark jobs; the plan DataFrame itself is
+    * lazy and materializes with the first wave's work). Deterministic,
+    * so a crashed run's successor continues identically. */
   private def ensurePlan(v: Int): Unit = {
     if (plan != null) return
     plan = store.read("frontier", v).cache()
-    waveSizes = plan.where(col("state") === "ready")
-      .groupBy("wave").agg(count(lit(1)).as("n"))
-      .as[(Int, Long)].collect().toMap
-    planMaxWave = if (waveSizes.isEmpty) -1 else waveSizes.keys.max
-    val dw = store.read("frontier_delta", v).agg(max("wave")).head
-    nextWave = if (dw.isNullAt(0)) 0 else dw.getInt(0) + 1
+    planMaxWave = store.metricsOf(1).getOrElse("max_wave", -1L).toInt
+    // the latest manifest's wave metric IS the cursor (init wrote -1)
+    nextWave = store.metricsOf(v).getOrElse("wave", -1L).toInt + 1
   }
 
   private def cleanup(): Unit = {
@@ -326,43 +319,23 @@ final class CrawlWave(
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
     val toFetch = clean.unionByName(suspects).cache()
 
-    // 2./3. fetch = left join pages on url (misses become error rows).
-    // Fast path (wave slice within broadcast budget): broadcast the
-    // slice keys and STREAM pages from cache — the pages side is never
-    // shuffled or sorted, and the join output inherits the balanced
-    // url-hash partitioning of the cache (host skew cannot survive a
-    // url-hash layout, so no salting needed here). Slow path (huge
-    // slices / real clusters with bucketed tables): salt + spread the
-    // slice, partitioned join.
-    // route on the plan's precomputed wave size (bloom guard only ever
-    // shrinks the slice) — no extra counting job per wave
-    val sliceRows = waveSizes.getOrElse(wave, 0L)
-    val joined =
-      if (sliceRows <= cfg.broadcastFetchMaxRows) {
-        val fetched = pagesByUrl.alias("p")
-          .join(broadcast(toFetch.select("seq", "url", "host").alias("f")),
-            col("f.url") === col("p.url"), "inner")
-          .select(col("f.seq").as("seq"), col("f.url").as("url"),
-            col("f.host").as("host"),
-            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-            col("p.text").as("text"))
-        val inPages = pagesUrlSet
-        val missUdf = udf { (u: String) => !inPages.value.contains(u) }
-        val misses = toFetch.where(missUdf(col("url")))
-          .select(col("seq"), col("url"), col("host"),
-            lit(null).cast("timestamp").as("warc_ts"),
-            lit(null).cast("binary").as("html"),
-            lit(null).cast("string").as("text"))
-        fetched.unionByName(misses)
-      } else {
-        val spreadRows = Skew.spread(Skew.salt(toFetch, cfg.rowsPerSalt), cfg.partitions)
-        spreadRows.alias("f")
-          .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
-          .select(col("f.seq").as("seq"), col("f.url").as("url"),
-            col("f.host").as("host"),
-            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-            col("p.text").as("text"))
-      }
+    // 2./3. fetch = ONE co-partitioned shuffled-hash LEFT join on url
+    // (misses surface as null html → error rows). Only the wave slice
+    // shuffles — hash by url, uniform keys, so host skew cannot survive
+    // the layout and no salting is needed; the cached pages side reuses
+    // its url partitioning (no exchange, no sort — verified in PLANS.md)
+    // and the hash builds on the SLICE side (BuildLeft), never on
+    // pages. This is also the 10^10 shape: pages bucketed by url, the
+    // slice shuffled to the bucketing, no O(pages) driver state.
+    val joined = toFetch.select("seq", "url", "host")
+      .repartition(cfg.partitions, col("url"))
+      .hint("SHUFFLE_HASH")
+      .alias("f")
+      .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
+      .select(col("f.seq").as("seq"), col("f.url").as("url"),
+        col("f.host").as("host"),
+        col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
+        col("p.text").as("text"))
 
     // 4. decode → liveness → render → byte-identity → features (one map)
     val outcomes = joined.as[FetchRow].map(CrawlWave.fetchOutcome(_, wave)).cache()

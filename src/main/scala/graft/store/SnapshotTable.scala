@@ -124,6 +124,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def manifest(version: Int): String =
     Files.readString(manifestPath(version))
 
+  /** The caller-recorded metrics of one manifest — a DRIVER-SIDE JSON
+    * read, zero Spark jobs (the crawl engine derives its wave cursor
+    * and plan bounds from these instead of re-aggregating tables). */
+  def metricsOf(version: Int): Map[String, Long] = {
+    val node = mapper.readTree(Files.readString(manifestPath(version)))
+    val m = node.get("metrics")
+    if (m == null) Map.empty
+    else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
   private def relative(p: Path): String = Paths.get(root).relativize(p).toString
 
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],

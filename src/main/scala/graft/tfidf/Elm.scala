@@ -41,15 +41,76 @@ object Elm {
 
   def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
+  /** Seeded random hidden layer (uniform in [-1, 1], the
+    * sklearn_extensions SimpleRandomLayer shape) — shared by the driver
+    * and distributed trainers so both see the identical layer. */
+  def hiddenLayer(d: Int, nHidden: Int, seed: Long): (Array[Array[Double]], Array[Double]) = {
+    val rnd = new java.util.Random(seed)
+    val w = Array.fill(nHidden, d)(rnd.nextDouble() * 2 - 1)
+    val b = Array.fill(nHidden)(rnd.nextDouble() * 2 - 1)
+    (w, b)
+  }
+
+  private[tfidf] def hRow(w: Array[Array[Double]], b: Array[Double],
+      x: Array[Double], out: Array[Double]): Unit = {
+    var j = 0
+    while (j < w.length) {
+      var z = b(j); val wj = w(j); var k = 0
+      while (k < wj.length) { z += wj(k) * x(k); k += 1 }
+      out(j) = sigmoid(z); j += 1
+    }
+  }
+
+  /** DISTRIBUTED closed-form train: β = (HᵀH + λI)⁻¹·Hᵀy from ONE pass
+    * of partition-local Gram sums — the h×h Gram is tiny at any n, so
+    * the rows never leave the executors (the scalable replacement for
+    * collecting X and running pinv(H) on the driver; λ is a whisker of
+    * ridge for rank-deficient H, equal to pinv's least-squares solution
+    * otherwise). `rows` = (feature vector, 0/1 label). */
+  def trainDistributed(rows: org.apache.spark.sql.Dataset[(Array[Double], Double)],
+      nFeatures: Int, nHidden: Int = 20, seed: Long = 42L,
+      ridge: Double = 1e-8): ElmModel = {
+    val (w, b) = hiddenLayer(nFeatures, nHidden, seed)
+    val bc = rows.sparkSession.sparkContext.broadcast((w, b))
+    val (gram, gy) = rows.rdd.mapPartitions { it =>
+      val (w, b) = bc.value
+      val h = w.length
+      val g = new Array[Double](h * h)
+      val v = new Array[Double](h)
+      val hx = new Array[Double](h)
+      var any = false
+      it.foreach { case (x, y01) =>
+        any = true
+        hRow(w, b, x, hx)
+        val ypm = if (y01 > 0.5) 1.0 else -1.0
+        var a = 0
+        while (a < h) {
+          val ha = hx(a)
+          v(a) += ha * ypm
+          var c = 0
+          while (c < h) { g(a * h + c) += ha * hx(c); c += 1 }
+          a += 1
+        }
+      }
+      if (any) Iterator.single((g, v)) else Iterator.empty
+    }.reduce { (l, r) =>
+      var i = 0; while (i < l._1.length) { l._1(i) += r._1(i); i += 1 }
+      i = 0; while (i < l._2.length) { l._2(i) += r._2(i); i += 1 }
+      l
+    }
+    val G = new DenseMatrix(nHidden, nHidden, gram) // symmetric → layout-safe
+    var i = 0; while (i < nHidden) { G(i, i) += ridge; i += 1 }
+    val beta = G \ DenseVector(gy)
+    ElmModel(w, b, beta.toArray)
+  }
+
   /** Train with a seeded java.util.Random hidden layer (uniform in
     * [-1, 1], the sklearn_extensions SimpleRandomLayer shape). */
   def train(x: Array[Array[Double]], y01: Array[Double], nHidden: Int = 20,
       seed: Long = 42L): ElmModel = {
     require(x.nonEmpty)
     val d = x(0).length
-    val rnd = new java.util.Random(seed)
-    val w = Array.fill(nHidden, d)(rnd.nextDouble() * 2 - 1)
-    val b = Array.fill(nHidden)(rnd.nextDouble() * 2 - 1)
+    val (w, b) = hiddenLayer(d, nHidden, seed)
     val n = x.length
     val h = DenseMatrix.tabulate(n, nHidden) { (i, j) =>
       var z = b(j)
@@ -102,6 +163,90 @@ final case class LcElmModel(members: Vector[ElmModel], v: Array[Double]) {
 }
 
 object LcElm {
+
+  /** DISTRIBUTED LC-ELM train: pass 1 trains every member's β via the
+    * Gram-sum solve ([[Elm.trainDistributed]] math, all members in ONE
+    * pass — per-member Grams are h×h each); pass 2 builds the combiner
+    * from FᵀF (m×m) + Fᵀy Gram sums of the members' ±1 votes. No row
+    * ever reaches the driver. */
+  def trainDistributed(rows: org.apache.spark.sql.Dataset[(Array[Double], Double)],
+      nFeatures: Int, nEstimators: Int = 25, nHidden: Int = 20,
+      seed: Long = 42L, ridge: Double = 1e-8): LcElmModel = {
+    val layers = Array.tabulate(nEstimators)(i =>
+      Elm.hiddenLayer(nFeatures, nHidden, seed + 1000L * i))
+    val sc = rows.sparkSession.sparkContext
+    val layersBc = sc.broadcast(layers)
+    val h = nHidden; val m = nEstimators
+    // pass 1: every member's (HᵀH, Hᵀy±) in one scan
+    val grams = rows.rdd.mapPartitions { it =>
+      val ls = layersBc.value
+      val g = Array.fill(m)(new Array[Double](h * h))
+      val v = Array.fill(m)(new Array[Double](h))
+      val hx = new Array[Double](h)
+      var any = false
+      it.foreach { case (x, y01) =>
+        any = true
+        val ypm = if (y01 > 0.5) 1.0 else -1.0
+        var mi = 0
+        while (mi < m) {
+          Elm.hRow(ls(mi)._1, ls(mi)._2, x, hx)
+          val gm = g(mi); val vm = v(mi)
+          var a = 0
+          while (a < h) {
+            val ha = hx(a)
+            vm(a) += ha * ypm
+            var c = 0
+            while (c < h) { gm(a * h + c) += ha * hx(c); c += 1 }
+            a += 1
+          }
+          mi += 1
+        }
+      }
+      if (any) Iterator.single((g, v)) else Iterator.empty
+    }.reduce { (l, r) =>
+      for (mi <- 0 until m) {
+        var i = 0; while (i < h * h) { l._1(mi)(i) += r._1(mi)(i); i += 1 }
+        i = 0; while (i < h) { l._2(mi)(i) += r._2(mi)(i); i += 1 }
+      }
+      l
+    }
+    val members = Vector.tabulate(m) { mi =>
+      val G = new DenseMatrix(h, h, grams._1(mi))
+      var i = 0; while (i < h) { G(i, i) += ridge; i += 1 }
+      ElmModel(layers(mi)._1, layers(mi)._2, (G \ DenseVector(grams._2(mi))).toArray)
+    }
+    val membersBc = sc.broadcast(members)
+    // pass 2: combiner Gram over the vote matrix F (raw 0/1 targets —
+    // lc-elm.py:61-63, quirk preserved)
+    val (ftf, fty) = rows.rdd.mapPartitions { it =>
+      val ms = membersBc.value
+      val g = new Array[Double](m * m)
+      val v = new Array[Double](m)
+      val fx = new Array[Double](m)
+      var any = false
+      it.foreach { case (x, y01) =>
+        any = true
+        var mi = 0
+        while (mi < m) { fx(mi) = if (ms(mi).decision(x) >= 0.0) 1.0 else -1.0; mi += 1 }
+        var a = 0
+        while (a < m) {
+          val fa = fx(a)
+          v(a) += fa * y01
+          var c = 0
+          while (c < m) { g(a * m + c) += fa * fx(c); c += 1 }
+          a += 1
+        }
+      }
+      if (any) Iterator.single((g, v)) else Iterator.empty
+    }.reduce { (l, r) =>
+      var i = 0; while (i < m * m) { l._1(i) += r._1(i); i += 1 }
+      i = 0; while (i < m) { l._2(i) += r._2(i); i += 1 }
+      l
+    }
+    val Gf = new DenseMatrix(m, m, ftf)
+    var i = 0; while (i < m) { Gf(i, i) += ridge; i += 1 }
+    LcElmModel(members, (Gf \ DenseVector(fty)).toArray)
+  }
 
   def train(x: Array[Array[Double]], y01: Array[Double],
       nEstimators: Int = 25, nHidden: Int = 20, seed: Long = 42L,
