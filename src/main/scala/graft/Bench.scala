@@ -54,7 +54,8 @@ object Bench {
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
       wavePeriodMs = 600000L * rep, // few, LARGE waves; politeness still active
       partitions = parts,
-      repartitionPages = false))
+      repartitionPages = false,
+      pipelineCommits = true)) // equivalence tested in CrawlSpec
     val t0 = System.nanoTime()
     cw.runAll(seeds)
     val sec = (System.nanoTime() - t0) / 1e9

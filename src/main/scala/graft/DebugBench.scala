@@ -29,10 +29,12 @@ object DebugBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.eventLog.enabled", sys.env.contains("SPARK_GRAFT_EVENTLOG"))
+      .config("spark.eventLog.dir", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // per-job wall vs summed-task-time accounting
+    // per-job wall vs summed-task-time accounting + per-stage attribution
     val acct = new org.apache.spark.scheduler.SparkListener {
       import org.apache.spark.scheduler._
       val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -52,6 +54,20 @@ object DebugBench {
         val ms = (System.nanoTime() - jobStart.getOrDefault(j.jobId, System.nanoTime())) / 1000000
         if (ms > 300) println(f"    job ${j.jobId}%3d: ${ms / 1000.0}%6.2f s")
       }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null && m.executorRunTime > 2000) {
+          val sw = m.shuffleWriteMetrics.writeTime / 1000000
+          val sr = m.shuffleReadMetrics.fetchWaitTime
+          println(f"    stage ${s.stageInfo.stageId}%3d [${s.stageInfo.name}] " +
+            f"run=${m.executorRunTime / 1000.0}%.1f cpu=${m.executorCpuTime / 1e9}%.1f " +
+            f"gc=${m.jvmGCTime / 1000.0}%.1f deser=${m.executorDeserializeTime / 1000.0}%.1f " +
+            f"serRes=${m.resultSerializationTime / 1000.0}%.1f shW=${sw / 1000.0}%.1f shRwait=${sr / 1000.0}%.1f " +
+            f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB out=${m.outputMetrics.bytesWritten / 1e6}%.0fMB " +
+            f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB shWb=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+            f"tasks=${s.stageInfo.numTasks}")
+        }
+      }
       def snap(label: String): Unit = {
         println(f"  [$label] taskTime=${taskMs.get / 1000.0}%.1f s cpu=${cpuMs.get / 1000.0}%.1f s gc=${gcMs.get / 1000.0}%.1f s")
         taskMs.set(0); gcMs.set(0); cpuMs.set(0)
@@ -66,7 +82,8 @@ object DebugBench {
     println(s"seeds=${seeds.count()}")
     val store = new SnapshotTable(spark, root)
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
-      wavePeriodMs = 600000L * rep, partitions = cpus, repartitionPages = false))
+      wavePeriodMs = 600000L * rep, partitions = cpus, repartitionPages = false,
+      pipelineCommits = !sys.env.get("SPARK_GRAFT_PIPELINE").contains("0")))
     val t0 = System.nanoTime()
     var t = t0
     cw.init(seeds)

@@ -17,19 +17,23 @@ import org.apache.spark.sql.functions._
   *  1. select `ready` frontier rows whose politeness token-bucket grants
   *     a fetch this wave ([[Politeness]], window functions — 1 shuffle
   *     by host);
-  *  2. guard with the partitioned Bloom seen-set (broadcast blobs,
-  *     row-local `mightContain`) + exact anti-join for the Bloom's
-  *     false positives (shuffle by url_hash only for suspects);
-  *  3./4. "fetch" = ONE co-partitioned shuffled-hash LEFT join against
-  *     the url-bucketed `pages` table (the sandbox stand-in for the
-  *     HTTP GET, SURVEY.md S4): only the wave slice shuffles (hash by
-  *     url — uniform, so host skew cannot survive the layout), the
-  *     cached pages side is never re-shuffled or sorted, and the hash
-  *     builds on the slice side (BuildLeft); a missing page row (null
-  *     html) = fetch error;
-  *  5. decode (charset ladder) → liveness screen → render sample text →
+  *  2. "fetch"+extract for the WHOLE plan happens ONCE per generation
+  *     (lazily, at the first wave): one co-partitioned shuffled-hash
+  *     LEFT join against the url-bucketed `pages` table (the sandbox
+  *     stand-in for the HTTP GET, SURVEY.md S4 — a live deployment
+  *     swaps in an async-HTTP mapPartitions with cost O(slice)), then
+  *     decode (charset ladder) → liveness screen → render sample text →
   *     byte-identity check vs the golden `text` column → feature
-  *     extraction, all in ONE narrow typed map;
+  *     extraction in ONE narrow typed map, persisted by wave. Only the
+  *     frontier shuffles (hash by url — uniform, so host skew cannot
+  *     survive the layout); pages is scanned exactly once per
+  *     generation, never per wave; a missing page row (null html) =
+  *     fetch error;
+  *  3. per wave: guard the prefetched slice with the partitioned Bloom
+  *     seen-set (broadcast blobs, row-local `mightContain`) + exact
+  *     anti-join for the Bloom's false positives (shuffle by url_hash
+  *     only for suspects) — planned waves are URL-disjoint, so the
+  *     guard commutes with the batched fetch;
   *  6. update frontier states + seen set + Bloom blobs, append samples/
   *     errors, commit an atomic snapshot with per-wave lineage metrics.
   *
@@ -77,7 +81,12 @@ object CrawlWave {
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
       err: String, text: String, features: Seq[Double], render_match: Boolean)
 
-  final case class FetchRow(seq: Long, url: String, host: String,
+  /** [[Outcome]] + the url hash the seen-set guard keys on (internal to
+    * the prefetched-fetch cache; stripped before any table write). */
+  final case class OutcomeK(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
+      err: String, text: String, features: Seq[Double], render_match: Boolean, url_hash: Long)
+
+  final case class FetchRow(seq: Long, url: String, host: String, wave: Int, url_hash: Long,
       warc_ts: Option[java.sql.Timestamp], html: Option[Array[Byte]], text: Option[String])
 
   val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
@@ -138,11 +147,11 @@ object CrawlWave {
   /** Decode/liveness/render/extract for one fetched row — the whole
     * per-URL reference pipeline as a pure function (object-level so the
     * task closure serializes no driver state). */
-  def fetchOutcome(r: FetchRow, wave: Int): Outcome = r.html match {
+  def fetchOutcome(r: FetchRow): OutcomeK = r.html match {
     case None =>
       // requests-exception analogue (spider.py:208-244, S7)
-      Outcome(r.seq, r.url, r.host, wave, ok = false, "fetch failed (no response)",
-        null, null, render_match = false)
+      OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, "fetch failed (no response)",
+        null, null, render_match = false, r.url_hash)
     case Some(bytes) =>
       // sandbox S5: per-row deterministic net info. The page BODY is
       // decoded from the fetched bytes — forUrlNoBody skips the
@@ -154,14 +163,15 @@ object CrawlWave {
       val synth = NetSynth.forUrlNoBody(r.url, content.length)
       val verdict = Liveness.isAlive(Some(synth.contentType), content, synth.status)
       if (!verdict.alive)
-        Outcome(r.seq, r.url, r.host, wave, ok = false, verdict.err, null, null, render_match = false)
+        OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, verdict.err, null, null,
+          render_match = false, r.url_hash)
       else {
         val text = SampleRender.render(r.url, content, synth.net)
         val asOf = r.warc_ts.map(_.toInstant.getEpochSecond)
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
-        Outcome(r.seq, r.url, r.host, wave, ok = true, "", text,
-          features.toSeq, render_match = r.text.contains(text))
+        OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
+          features.toSeq, render_match = r.text.contains(text), r.url_hash)
       }
   }
 }
@@ -187,6 +197,9 @@ final class CrawlWave(
   private var plan: DataFrame = _
   private var planMaxWave: Int = -1
   private var nextWave: Int = 0
+  // fetch+extract of the WHOLE plan, one co-partitioned join + one
+  // extraction pass (see prefetchAll)
+  private var prefetched: DataFrame = _
   // serialized seen-filter blobs carried between waves (store-backed)
   private var blobState: Array[(Int, Array[Byte])] = _
   // in-flight async commit (pipelineCommits mode)
@@ -283,6 +296,55 @@ final class CrawlWave(
 
   private def cleanup(): Unit = {
     if (plan != null) { plan.unpersist(); plan = null }
+    if (prefetched != null) { prefetched.unpersist(); prefetched = null }
+  }
+
+  /** Fetch + extract for EVERY planned ready row, lazily computed once
+    * per plan (generation) and persisted: ONE co-partitioned
+    * shuffled-hash LEFT join against the url-bucketed `pages` table
+    * (the sandbox stand-in for the HTTP GET, SURVEY.md S4) and ONE
+    * extraction pass, instead of re-streaming the pages table every
+    * wave. Planned waves are URL-disjoint, so prefetching commutes with
+    * the per-wave seen-guard (which still runs per wave, on the slice).
+    * Misses (null html) become error rows.
+    *
+    * Scale shape: only the frontier slice shuffles (hash by url —
+    * uniform keys, host skew cannot survive the layout); the cached
+    * pages side is scanned exactly ONCE per crawl generation and the
+    * hash builds on the frontier side (BuildLeft). At the 10^10 design
+    * point this is the bucketed-join bulk-fetch over the page store; in
+    * a live deployment the join is replaced by an async-HTTP
+    * mapPartitions whose cost is O(slice), not O(pages). */
+  private def prefetchAll(): DataFrame = {
+    if (prefetched == null) {
+      val dir = store.scratchPath("prefetch")
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))) {
+        plan
+          .where(col("state") === "ready")
+          .select("seq", "url", "host", "wave", "url_hash")
+          .repartition(cfg.partitions, col("url"))
+          .hint("SHUFFLE_HASH")
+          .alias("f")
+          .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
+          .select(col("f.seq").as("seq"), col("f.url").as("url"),
+            col("f.host").as("host"), col("f.wave").as("wave"),
+            col("f.url_hash").as("url_hash"),
+            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
+            col("p.text").as("text"))
+          .as[FetchRow].map(CrawlWave.fetchOutcome _).toDF()
+          // materialized OFF-HEAP, clustered by wave: each wave's slice
+          // reads only its own files (partition pruning), the JVM heap
+          // never holds the full crawl's text, and a resumed run reuses
+          // the scratch dataset instead of re-fetching
+          .write.mode("overwrite").partitionBy("wave").parquet(dir)
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))
+      }
+      // canonical column order (partitionBy moved `wave` to the end)
+      prefetched = spark.read.parquet(dir)
+        .select("seq", "url", "host", "wave", "ok", "err", "text",
+          "features", "render_match", "url_hash")
+    }
+    prefetched
   }
 
   /** Run one planned wave; returns the committed version, or None when
@@ -294,13 +356,17 @@ final class CrawlWave(
     ensurePlan(v)
     if (nextWave > planMaxWave) { awaitPending(); cleanup(); return None }
     val wave = nextWave
-    val slice = plan.where(col("state") === "ready" && col("wave") === wave)
+    // the wave's prefetched fetch+extract results (columnar cache slice
+    // — batch stats prune other waves' batches; no pages scan here)
+    val slice = prefetchAll().where(col("wave") === wave)
 
     // 1. seen-set guard: Bloom/cuckoo pre-filter (broadcast blobs
     // maintained INCREMENTALLY in the snapshot — read is O(blobs), not
     // O(seen)); exact anti-join only for the filter's false positives.
     // Blobs are carried in memory between waves (store read only on the
-    // first wave of an instance / after resume).
+    // first wave of an instance / after resume). Planned waves are
+    // URL-disjoint, so guarding AFTER the prefetched fetch selects
+    // exactly the rows the fetch-then-guard order would have fetched.
     val seen = store.read("seen", v)
     val blobs: Array[(Int, Array[Byte])] =
       if (blobState != null) blobState
@@ -317,31 +383,10 @@ final class CrawlWave(
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-    val toFetch = clean.unionByName(suspects).cache()
+    val outcomes = clean.unionByName(suspects).cache()
 
-    // 2./3. fetch = ONE co-partitioned shuffled-hash LEFT join on url
-    // (misses surface as null html → error rows). Only the wave slice
-    // shuffles — hash by url, uniform keys, so host skew cannot survive
-    // the layout and no salting is needed; the cached pages side reuses
-    // its url partitioning (no exchange, no sort — verified in PLANS.md)
-    // and the hash builds on the SLICE side (BuildLeft), never on
-    // pages. This is also the 10^10 shape: pages bucketed by url, the
-    // slice shuffled to the bucketing, no O(pages) driver state.
-    val joined = toFetch.select("seq", "url", "host")
-      .repartition(cfg.partitions, col("url"))
-      .hint("SHUFFLE_HASH")
-      .alias("f")
-      .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
-      .select(col("f.seq").as("seq"), col("f.url").as("url"),
-        col("f.host").as("host"),
-        col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-        col("p.text").as("text"))
-
-    // 4. decode → liveness → render → byte-identity → features (one map)
-    val outcomes = joined.as[FetchRow].map(CrawlWave.fetchOutcome(_, wave)).cache()
-
-    val samplesNew = outcomes.where(col("ok")).toDF()
-    val errorsNew = outcomes.where(!col("ok")).toDF()
+    val samplesNew = outcomes.where(col("ok")).drop("url_hash")
+    val errorsNew = outcomes.where(!col("ok")).drop("url_hash")
 
     // 5. frontier DELTA: one small join on the wave slice only —
     // the full frontier is never rescanned or rewritten per wave
@@ -357,7 +402,7 @@ final class CrawlWave(
     // partition's filter is rebuilt DISTRIBUTED (copy of the broadcast
     // old blob + this wave's delta keys inserted in the executor);
     // untouched partitions keep their blob verbatim.
-    val seenDelta = toFetch
+    val seenDelta = outcomes
       .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
     val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
     val cuckooCap = cfg.cuckooCapacityPerPartition
@@ -365,7 +410,7 @@ final class CrawlWave(
     // per-partition × per-host lineage metrics (north_rule): one
     // aggregation over the cached outcomes feeds both the `metrics`
     // append table and the driver-side wave stats — a single action.
-    val metricsNew = outcomes.toDF()
+    val metricsNew = outcomes
       .withColumn("part_id", spark_partition_id())
       .groupBy(col("wave"), col("part_id"), col("host"))
       .agg(
@@ -375,13 +420,17 @@ final class CrawlWave(
         sum(when(col("ok"), length(col("text"))).otherwise(0L)).as("text_bytes"))
       .cache()
 
-    // the filter-blob rebuild (over toFetch's cache) and the extraction
-    // + metrics job (materializing outcomes) are independent — run them
-    // as CONCURRENT Spark jobs so neither serializes the wave
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    // materialize the heavy lineage EXACTLY ONCE: the stats action fills
+    // the prefetched → outcomes → metricsNew caches in one job; the blob
+    // rebuild then reads the outcomes cache (cheap). Running these as
+    // concurrent jobs (as earlier revisions did) DOUBLE-COMPUTES the
+    // shared cache-fill prefix at high core counts — both jobs' tasks
+    // race the same partitions before cache entries land.
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    val blobsF = Future {
+    val stats =
+      metricsNew.agg(sum("urls"), sum("errors"), sum("render_mismatches")).head
+    val updatedBlobs =
       seenDelta.as[(Int, Long)]
         .groupByKey(_._1)
         .mapGroups { (p, it) =>
@@ -391,12 +440,6 @@ final class CrawlWave(
           (p, f.serialize)
         }
         .collect()
-    }
-    val statsF = Future {
-      metricsNew.agg(sum("urls"), sum("errors"), sum("render_mismatches")).head
-    }
-    val updatedBlobs = Await.result(blobsF, Duration.Inf)
-    val stats = Await.result(statsF, Duration.Inf)
     val touched = updatedBlobs.map(_._1).toSet
     val mergedBlobs = updatedBlobs ++
       blobs.filter { case (p, _) => !touched.contains(p) }
@@ -433,7 +476,7 @@ final class CrawlWave(
           "errors" -> nErr, "render_mismatches" -> nMismatch),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
-      outcomes.unpersist(); toFetch.unpersist(); metricsNew.unpersist()
+      outcomes.unpersist(); metricsNew.unpersist()
       c
     }
 

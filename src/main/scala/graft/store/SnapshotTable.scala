@@ -134,6 +134,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
+  /** A scratch-dataset path under the store root (never referenced by
+    * manifests; used for recomputable intermediates like the crawl's
+    * prefetched fetch results — Iceberg analogue: an unregistered
+    * staging location next to the table). */
+  def scratchPath(name: String): String =
+    Paths.get(root, "scratch", name).toString
+
   private def relative(p: Path): String = Paths.get(root).relativize(p).toString
 
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
