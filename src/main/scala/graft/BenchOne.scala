@@ -5,11 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** One isolated crawl measurement (forked by [[Bench]] for the scaling
   * section so each parallelism level gets a fresh JVM — sequential
   * sessions in one JVM showed progressive degradation that contaminates
-  * the comparison). Prints exactly one line: `RESULT <urls> <sec>`. */
+  * the comparison). An optional 4th arg points at a pre-materialized
+  * fixture dir (`pages`/`seeds` parquet written once by the parent) so
+  * forks skip fixture synthesis. Prints one line: `RESULT <urls> <sec>`. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, cpusS, repS) = args
-    val cpus = cpusS.toInt
+    val sfDir = args(0)
+    val cpus = args(1).toInt
+    val rep = args(2).toInt
+    val fixtureDir = if (args.length > 3) Some(args(3)) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-one-$cpus")
@@ -20,7 +24,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     // warm JIT on the small dir, then measure
     Bench.crawlRun(spark, "/root/testdata/sf0.01", rep = 1)
-    val (urls, sec) = Bench.crawlRun(spark, sfDir, repS.toInt)
+    val (urls, sec) = fixtureDir match {
+      case Some(d) => Bench.crawlRunOn(spark,
+        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"))
+      case None => Bench.crawlRun(spark, sfDir, rep)
+    }
     println(s"RESULT $urls $sec")
     spark.stop()
   }

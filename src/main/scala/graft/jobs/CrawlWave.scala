@@ -87,9 +87,27 @@ object CrawlWave {
       err: String, text: String, features: Seq[Double], render_match: Boolean, url_hash: Long)
 
   final case class FetchRow(seq: Long, url: String, host: String, wave: Int, url_hash: Long,
-      warc_ts: Option[java.sql.Timestamp], html: Option[Array[Byte]], text: Option[String])
+      warc_ts: Option[java.sql.Timestamp], html: Option[Array[Byte]], text_hash: Option[Long])
 
   val crawlerDomainUdf = udf((u: String) => Canonicalize.crawlerDomain(u))
+
+  /** 64-bit FNV-1a over UTF-8 bytes — the render-identity fingerprint.
+    * The golden `text` column is hashed ONCE when the pages table is
+    * projected for the fetch join, so the join carries 8 bytes per row
+    * instead of the full expected text; the render check compares
+    * fingerprints (equality up to a 2^-64 collision — the design-point
+    * form of the byte-identity check; the exact string compare lives in
+    * the `byte_identity` oracle query and the test fixtures). */
+  def hashText(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  val textHashUdf = udf((s: String) =>
+    if (s == null) None else Some(hashText(s)))
 
   /** Initial frontier from a seeds table (`seq`, `url`[, `priority`]):
     * scheme dispatch (S2) + image-extension skip (S3) as dropped states,
@@ -171,7 +189,7 @@ object CrawlWave {
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-          features.toSeq, render_match = r.text.contains(text), r.url_hash)
+          features.toSeq, render_match = r.text_hash.contains(hashText(text)), r.url_hash)
       }
   }
 }
@@ -189,9 +207,15 @@ final class CrawlWave(
     * every wave's join reuses the partitioning (only the small wave
     * slice shuffles — at the 10^10 design point this is bucketing on
     * `url` of the pages table). */
-  private lazy val pagesByUrl: DataFrame =
-    if (cfg.repartitionPages) pages.repartition(cfg.partitions, col("url")).cache()
-    else pages
+  private lazy val pagesByUrl: DataFrame = {
+    // project ONCE to the fetch-join schema: the golden text column is
+    // reduced to its 8-byte fingerprint so the join output (and the
+    // typed-map encoder boundary) never materializes the expected text
+    val projected = pages.select(col("url"), col("warc_ts"), col("html"),
+      textHashUdf(col("text")).as("text_hash"))
+    if (cfg.repartitionPages) projected.repartition(cfg.partitions, col("url")).cache()
+    else projected
+  }
 
   // plan state (rebuilt deterministically on resume)
   private var plan: DataFrame = _
@@ -330,8 +354,12 @@ final class CrawlWave(
             col("f.host").as("host"), col("f.wave").as("wave"),
             col("f.url_hash").as("url_hash"),
             col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-            col("p.text").as("text"))
+            col("p.text_hash").as("text_hash"))
           .as[FetchRow].map(CrawlWave.fetchOutcome _).toDF()
+          // text_len lets every small consumer (metrics, seen delta,
+          // frontier delta) prune the text column away entirely — only
+          // the samples write ever decodes text again
+          .withColumn("text_len", when(col("ok"), length(col("text"))).otherwise(0L))
           // materialized OFF-HEAP, clustered by wave: each wave's slice
           // reads only its own files (partition pruning), the JVM heap
           // never holds the full crawl's text, and a resumed run reuses
@@ -342,7 +370,7 @@ final class CrawlWave(
       // canonical column order (partitionBy moved `wave` to the end)
       prefetched = spark.read.parquet(dir)
         .select("seq", "url", "host", "wave", "ok", "err", "text",
-          "features", "render_match", "url_hash")
+          "features", "render_match", "url_hash", "text_len")
     }
     prefetched
   }
@@ -379,45 +407,67 @@ final class CrawlWave(
     val mightContainUdf = udf { (h: Long) =>
       bloomBc.value.get(java.lang.Math.floorMod(h, P.toLong).toInt).exists(_.mightContain(h))
     }
-    val flagged = slice.withColumn("maybe_seen", mightContainUdf(col("url_hash")))
-    val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
-    val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
-      .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-    val outcomes = clean.unionByName(suspects).cache()
+    // `excluded` = the slice's TRUE-seen url hashes: bloom suspects,
+    // confirmed by a semi-join against the exact seen table. Usually
+    // EMPTY (planned waves are URL-disjoint; only a cross-generation /
+    // resumed-store repeat lands here), always tiny, so every consumer
+    // below guards with a BROADCAST anti-join and reads only the pruned
+    // scratch columns it needs — the text column is decoded exactly
+    // once more (the samples write), never cached on the JVM heap.
+    val excluded = slice.select("url_hash")
+      .where(mightContainUdf(col("url_hash")))
+      .join(seen.select("url_hash"), Seq("url_hash"), "left_semi")
+      .cache()
+    // Materialize the guard FIRST (one tiny job: pruned url_hash column
+    // + bloom prefilter + semi-join). In the common case — planned
+    // waves are URL-disjoint, so only cross-generation / resumed-store
+    // repeats are ever excluded — the set is EMPTY and every consumer
+    // below skips its anti-join entirely (simpler plans, no broadcast
+    // build per job).
+    val nExcluded = excluded.count()
+    def kept(df: DataFrame): DataFrame =
+      if (nExcluded == 0) df
+      else df.join(broadcast(excluded), Seq("url_hash"), "left_anti")
+    val narrow = slice.select("url_hash", "seq", "host", "wave", "ok",
+      "render_match", "text_len")
 
-    val samplesNew = outcomes.where(col("ok")).drop("url_hash")
-    val errorsNew = outcomes.where(!col("ok")).drop("url_hash")
+    val samplesNew = kept(slice).drop("url_hash", "text_len").where(col("ok"))
+    val errorsNew = kept(slice).drop("url_hash", "text_len").where(!col("ok"))
 
-    // 5. frontier DELTA: one small join on the wave slice only —
-    // the full frontier is never rescanned or rewritten per wave
-    val frontierDelta = slice.select(col("seq"), col("wave"))
-      .join(outcomes.select(col("seq"), col("ok")), Seq("seq"), "left")
-      .select(col("seq"),
-        when(col("ok").isNull, lit("skipped_seen"))
+    // 5. frontier DELTA: wave slice × excluded only — the full frontier
+    // is never rescanned or rewritten per wave
+    val frontierDelta = {
+      val base =
+        if (nExcluded == 0) narrow.withColumn("ex", lit(null).cast("boolean"))
+        else narrow.join(broadcast(excluded.withColumn("ex", lit(true))), Seq("url_hash"), "left")
+      base.select(col("seq"),
+        when(col("ex").isNotNull, lit("skipped_seen"))
           .when(col("ok"), lit("done"))
           .otherwise(lit("error")).as("state"),
         col("wave"))
+    }
 
     // seen DELTA (append) + incremental filter blob update: each touched
     // partition's filter is rebuilt DISTRIBUTED (copy of the broadcast
     // old blob + this wave's delta keys inserted in the executor);
     // untouched partitions keep their blob verbatim.
-    val seenDelta = outcomes
+    val seenDelta = kept(narrow.select("url_hash"))
       .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
     val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
     val cuckooCap = cfg.cuckooCapacityPerPartition
 
-    // per-partition × per-host lineage metrics (north_rule): one
-    // aggregation over the cached outcomes feeds both the `metrics`
-    // append table and the driver-side wave stats — a single action.
-    val metricsNew = outcomes
+    // per-partition × per-host lineage metrics (north_rule): aggregated
+    // over the pruned narrow columns (text_len stands in for the text
+    // column), feeding both the `metrics` append table and the
+    // driver-side wave stats.
+    val metricsNew = kept(narrow)
       .withColumn("part_id", spark_partition_id())
       .groupBy(col("wave"), col("part_id"), col("host"))
       .agg(
         count(lit(1)).as("urls"),
         sum(when(!col("ok"), 1L).otherwise(0L)).as("errors"),
         sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L)).as("render_mismatches"),
-        sum(when(col("ok"), length(col("text"))).otherwise(0L)).as("text_bytes"))
+        sum(when(col("ok"), col("text_len")).otherwise(0L)).as("text_bytes"))
       .cache()
 
     // materialize the heavy lineage EXACTLY ONCE: the stats action fills
@@ -476,7 +526,7 @@ final class CrawlWave(
           "errors" -> nErr, "render_mismatches" -> nMismatch),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
-      outcomes.unpersist(); metricsNew.unpersist()
+      excluded.unpersist(); metricsNew.unpersist()
       c
     }
 

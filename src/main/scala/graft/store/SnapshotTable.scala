@@ -70,6 +70,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     (replace.keySet intersect append.keySet).foreach { t =>
       throw new IllegalArgumentException(s"table $t in both replace and append")
     }
+    // statically-empty frames (a zero-row LocalRelation after
+    // optimization — e.g. a schema-anchoring first append) cost a whole
+    // Spark job each to "write": skip the write, record the schema in
+    // the manifest instead, and let read() synthesize the empty frame
+    def staticallyEmpty(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+        case _ => false
+      }
+    val real = (replace ++ append).filterNot { case (_, df) => staticallyEmpty(df) }
     // write delta data dirs (overwrite → idempotent retry); tables are
     // independent, so the writes run as CONCURRENT Spark jobs — commit
     // wall time is the slowest table, not the sum (the manifest publish
@@ -78,7 +88,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val written = Await.result(
-      Future.sequence((replace ++ append).toSeq.map { case (name, df) =>
+      Future.sequence(real.toSeq.map { case (name, df) =>
         Future {
           val dir = dataDir(name, v)
           df.write.mode("overwrite").parquet(dir.toString)
@@ -87,20 +97,33 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }), Duration.Inf).toMap
 
     val tables: Map[String, Seq[String]] =
-      (parentTables.keySet ++ written.keySet).map { name =>
+      (parentTables.keySet ++ replace.keySet ++ append.keySet).map { name =>
         val prior = parentTables.getOrElse(name, Nil)
         val dirs =
-          if (replace.contains(name)) Seq(written(name))
-          else if (append.contains(name)) prior :+ written(name)
+          if (replace.contains(name)) written.get(name).toSeq
+          else if (append.contains(name)) prior ++ written.get(name)
           else prior
         name -> dirs
       }.toMap
+    // schemas carried forward so empty-dirs tables stay readable
+    val schemas: Map[String, String] =
+      parent.map(schemasOf).getOrElse(Map.empty) ++
+        (replace ++ append).map { case (name, df) => name -> df.schema.toDDL }
 
     Files.createDirectories(manifestsDir)
     val tmp = manifestsDir.resolve(f".tmp-v$v%05d.json")
-    Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics))
+    Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics, schemas))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Per-table schema DDL recorded by `commit` (empty for pre-schema
+    * manifests). */
+  def schemasOf(version: Int): Map[String, String] = {
+    val node = mapper.readTree(Files.readString(manifestPath(version)))
+    val s = node.get("schemas")
+    if (s == null) Map.empty
+    else s.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
   /** The data directories composing `table` at `version`. */
@@ -115,7 +138,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def read(table: String, version: Int): DataFrame = {
     val dirs = tableDirs(version).getOrElse(table,
       throw new NoSuchElementException(s"table $table not in snapshot v$version"))
-    spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*)
+    if (dirs.isEmpty) {
+      // never materialized (only statically-empty writes so far):
+      // synthesize the empty frame from the manifest-recorded schema
+      val ddl = schemasOf(version).getOrElse(table,
+        throw new NoSuchElementException(s"table $table has no data and no schema at v$version"))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*)
   }
 
   def readLatest(table: String): Option[DataFrame] =
@@ -144,12 +174,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def relative(p: Path): String = Paths.get(root).relativize(p).toString
 
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
-      counts: Map[String, Long], metrics: Map[String, Long]): String = {
+      counts: Map[String, Long], metrics: Map[String, Long],
+      schemas: Map[String, String]): String = {
     def obj(m: Map[String, Long]) =
       m.toSeq.sortBy(_._1).map { case (k, x) => s""""$k": $x""" }.mkString("{", ", ", "}")
     val tbl = tables.toSeq.sortBy(_._1).map { case (k, dirs) =>
       s""""$k": ${dirs.map(d => "\"" + d.replace("\\", "/") + "\"").mkString("[", ", ", "]")}"""
     }.mkString("{", ", ", "}")
-    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}}"""
+    val sch = schemas.toSeq.sortBy(_._1).map { case (k, ddl) =>
+      s""""$k": ${mapper.writeValueAsString(ddl)}"""
+    }.mkString("{", ", ", "}")
+    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}, "schemas": $sch}"""
   }
 }
