@@ -51,7 +51,8 @@ object Bench {
   /** One full crawl+extract run over pre-built inputs; fixture
     * bucketing/caching happens OUTSIDE the timed window (a deployment
     * reads an already-bucketed table). Returns (urls processed, sec). */
-  def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame): (Long, Double) = {
+  def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame,
+      rep: Int = seedRep): (Long, Double) = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-").toString
     val parts = spark.sparkContext.defaultParallelism
     val pages = pagesIn
@@ -61,7 +62,7 @@ object Bench {
     seeds.count()
     val store = new SnapshotTable(spark, root)
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
-      wavePeriodMs = 600000L * seedRep, // few, LARGE waves; politeness still active
+      wavePeriodMs = 600000L * rep, // few, LARGE waves; politeness still active
       partitions = parts,
       repartitionPages = false,
       pipelineCommits = true)) // equivalence tested in CrawlSpec
@@ -76,7 +77,7 @@ object Bench {
 
   /** One full crawl+extract run synthesizing fixtures from `sfDir`. */
   def crawlRun(spark: SparkSession, sfDir: String, rep: Int = seedRep): (Long, Double) =
-    crawlRunOn(spark, Fixtures.pages(spark, sfDir, rep).toDF, Fixtures.seeds(spark, sfDir, rep))
+    crawlRunOn(spark, Fixtures.pages(spark, sfDir, rep).toDF, Fixtures.seeds(spark, sfDir, rep), rep)
 
   // headline query subset (heaviest, most representative operators)
   private val headline = Seq(

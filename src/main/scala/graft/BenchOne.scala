@@ -22,11 +22,21 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev: SPARK_GRAFT_JOBLOG=1 prints a job timeline (start/end ms +
+    // description) — the gaps between jobs are the driver-serial time
+    // the scaling analysis hunts
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          println(s"JOBSTART ${js.jobId} ${js.time} ${Option(js.properties.getProperty("spark.job.description")).getOrElse("")} ${Option(js.properties.getProperty("callSite.short")).getOrElse("")}")
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          println(s"JOBEND ${je.jobId} ${je.time}")
+      })
     // warm JIT on the small dir, then measure
     Bench.crawlRun(spark, "/root/testdata/sf0.01", rep = 1)
     val (urls, sec) = fixtureDir match {
       case Some(d) => Bench.crawlRunOn(spark,
-        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"))
+        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), rep)
       case None => Bench.crawlRun(spark, sfDir, rep)
     }
     println(s"RESULT $urls $sec")

@@ -639,17 +639,75 @@ object SparkEntry {
         |  cast(round(inter * 1000000.0 / (sa.sz + sb.sz - inter), 0) as bigint) AS jaccard_micro
         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
 
-    "dedup_minhash_lsh" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      Dedup.minhashLshPairs(s.table("documents"), threshold = 0.3)
-        .select(col("a_id"), col("b_id"),
-          (round(col("est_jaccard") * 1e6, 0)).cast("long").as("est_jaccard_micro"))
-    }),
+    // MinHash+LSH with the PORTABLE md5 signature (16 hashes = 4×4
+    // bands): the oracle recomputes the same signatures, the same
+    // shared-full-band candidate rule and the same slot-agreement
+    // estimate in DuckDB — deterministic equality, not a recall bound.
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Dedup.minhashLshPairsPortable(s.table("documents"), threshold = 0.3)
+      },
+      Some {
+        val sigCols = (0 until 16).map(j =>
+          s"max(CASE WHEN j = $j THEN sig END) AS s$j").mkString(",\n  ")
+        val eq = (0 until 16).map(j =>
+          s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        val cand = (0 until 4).map { b =>
+          (0 until 4).map(r => s"a.s${4 * b + r} = b.s${4 * b + r}").mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        s"""WITH x AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i FROM documents),
+           |g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM x),
+           |hj AS (SELECT unnest(generate_series(0, 15)) AS j),
+           |m AS (SELECT doc_id, j, min(md5(j || ':' || gram)) AS sig FROM g, hj GROUP BY 1, 2),
+           |sv AS (SELECT doc_id,
+           |  $sigCols
+           |FROM m GROUP BY 1),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        $eq AS eq,
+           |        CASE WHEN $cand THEN 1 ELSE 0 END AS cand
+           |      FROM sv a JOIN sv b ON a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, cast(eq * 62500 as bigint) AS est_jaccard_micro
+           |FROM p WHERE cand = 1 AND eq >= 5""".stripMargin
+      }),
 
-    "dedup_simhash" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      Dedup.simhashPairs(s.table("documents"), maxHamming = 16)
-    }),
+    // SimHash at maxHamming=3, where the 4×16-bit banding is provably
+    // exact (pigeonhole) — and with the PORTABLE md5 per-token hash, so
+    // DuckDB recomputes the very fingerprints and the oracle is the
+    // plain all-pairs Hamming filter (sound AND complete).
+    "dedup_simhash" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Dedup.simhashPairs(s.table("documents"), maxHamming = 3, portable = true)
+          .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tn AS (SELECT doc_id, md5(token) AS hex FROM tok WHERE token <> ''),
+          |bb AS (SELECT unnest(generate_series(0, 63)) AS bit),
+          |bits AS (
+          |  SELECT doc_id, bit,
+          |    CASE WHEN ((strpos('0123456789abcdef', substr(hex, (bit // 4) + 1, 1)) - 1) >> (bit % 4)) & 1 = 1
+          |         THEN 1 ELSE -1 END AS w
+          |  FROM tn, bb),
+          |cnt AS (SELECT doc_id, bit, sum(w) AS c FROM bits GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT doc_id, bit // 16 AS band,
+          |    sum(CASE WHEN c > 0 THEN (1 << (bit % 16)) ELSE 0 END) AS key
+          |  FROM cnt GROUP BY 1, 2),
+          |fp AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN band = 0 THEN key END) AS k0,
+          |    max(CASE WHEN band = 1 THEN key END) AS k1,
+          |    max(CASE WHEN band = 2 THEN key END) AS k2,
+          |    max(CASE WHEN band = 3 THEN key END) AS k3
+          |  FROM bands GROUP BY 1)
+          |SELECT a_id, b_id, hamming FROM (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    cast(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+          |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) as bigint) AS hamming
+          |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+          |WHERE hamming <= 3""".stripMargin)),
 
     // embedding-cosine near-dup: exact (oracled) + LSH scale path
     "dedup_embedding_exact" -> Q(
@@ -747,10 +805,27 @@ object SparkEntry {
           |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint) AS bpe_tokens
           |FROM documents""".stripMargin)),
 
-    "fingerprints" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      TextAnalysis.fingerprints(s.table("documents"))
-    }),
+    // winnowing with the portable md5 gram hash: the oracle re-runs the
+    // window-min selection in SQL (min OVER a w-row frame; rn<=ng-w+1
+    // restricts to fully-inside windows, with the whole-text fallback
+    // for short gram sequences) and md5s the sorted selection.
+    "fingerprints" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        TextAnalysis.fingerprintsPortable(s.table("documents"))
+      },
+      Some(
+        """WITH x AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents),
+          |g AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h FROM x),
+          |wm AS (SELECT doc_id, i,
+          |         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh,
+          |         count(*) OVER (PARTITION BY doc_id) AS ng,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+          |       FROM g),
+          |sel AS (SELECT DISTINCT doc_id, mh FROM wm WHERE rn <= ng - 15 OR (ng < 16 AND rn = 1))
+          |SELECT doc_id, cast(count(*) as bigint) AS n_fingerprints,
+          |  md5(string_agg(mh, ',' ORDER BY mh)) AS fingerprint_hex
+          |FROM sel GROUP BY doc_id""".stripMargin)),
 
     // ---------------- multimodal plumbing (stubbed codec, real plumbing)
     // The FakeCodec probe is md5-derived (PortableHash), so the decoded

@@ -431,6 +431,16 @@ final class CrawlWave(
     val narrow = slice.select("url_hash", "seq", "host", "wave", "ok",
       "render_match", "text_len")
 
+    // common path (nothing excluded): samples/errors join the snapshot
+    // as METADATA-ONLY references to this wave's prefetch-scratch slice
+    // (SnapshotTable.ViewRef) — zero Spark jobs, no second write of the
+    // text bytes. Only an excluded-repeat wave (or a missing slice dir)
+    // falls back to materialized delta writes.
+    val outcomeCols = Seq("seq", "url", "host", "wave", "ok", "err",
+      "text", "features", "render_match")
+    val waveDirRel = s"scratch/prefetch/wave=$wave"
+    val refCommit = nExcluded == 0 &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store.rootPath, waveDirRel))
     val samplesNew = kept(slice).drop("url_hash", "text_len").where(col("ok"))
     val errorsNew = kept(slice).drop("url_hash", "text_len").where(!col("ok"))
 
@@ -517,11 +527,25 @@ final class CrawlWave(
       }
 
     def doCommit(): Int = {
+      val appendDf: Map[String, org.apache.spark.sql.DataFrame] =
+        if (refCommit)
+          Map("seen" -> seenDelta, "metrics" -> metricsNew,
+            "frontier_delta" -> frontierDelta)
+        else
+          Map("seen" -> seenDelta, "samples" -> samplesNew,
+            "errors" -> errorsNew, "metrics" -> metricsNew,
+            "frontier_delta" -> frontierDelta)
+      val refs =
+        if (refCommit) Map(
+          "samples" -> graft.store.SnapshotTable.ViewRef(
+            "scratch/prefetch", Seq(waveDirRel), "ok", outcomeCols),
+          "errors" -> graft.store.SnapshotTable.ViewRef(
+            "scratch/prefetch", Seq(waveDirRel), "NOT ok", outcomeCols))
+        else Map.empty[String, graft.store.SnapshotTable.ViewRef]
       val c = store.commit(
         replace = replaceTables,
-        append = Map("seen" -> seenDelta, "samples" -> samplesNew,
-          "errors" -> errorsNew, "metrics" -> metricsNew,
-          "frontier_delta" -> frontierDelta),
+        append = appendDf,
+        appendRef = refs,
         metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
           "errors" -> nErr, "render_mismatches" -> nMismatch),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),

@@ -142,6 +142,90 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Distinct char k-shingles as STRINGS, mirroring the SQL replica
+    * exactly: `substr(text, i, k)` for i in 1..max(len-k+1, 1) — a
+    * text shorter than k yields its whole self (one short gram). */
+  def portableShingles(text: String, k: Int): Array[String] = {
+    val n = math.max(text.length - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      seen.add(text.substring(i, math.min(i + k, text.length)))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** PORTABLE MinHash signature: slot j = lexicographic min over grams
+    * of md5Hex(s"$j:$gram") ([[PortableHash]]). Hex-string order equals
+    * DuckDB varchar order (ASCII), so `min(md5(j || ':' || gram))` in
+    * SQL reproduces every slot byte-for-byte. */
+  def minhashSignatureMd5(grams: Array[String], numHashes: Int): Array[String] = {
+    val sig = new Array[String](numHashes)
+    var g = 0
+    while (g < grams.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = PortableHash.md5Hex(j + ":" + grams(g))
+        if (sig(j) == null || h.compareTo(sig(j)) < 0) sig(j) = h
+        j += 1
+      }
+      g += 1
+    }
+    sig
+  }
+
+  /** [[minhashLshPairs]] with the portable md5 signature — DETERMINISTIC
+    * equality with its SQL replica, not just probabilistic recall: both
+    * engines compute the same signatures, the same candidate rule (a
+    * fully-equal band), and the same slot-agreement estimate, so the
+    * driver oracle is an exact all-pairs formulation of this exact
+    * operator. Fewer hashes (16 = 4 bands × 4 rows) keep the SQL side
+    * tractable; the scale shape is identical to [[minhashLshPairs]]. */
+  def minhashLshPairsPortable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.3,
+      maxBucket: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, minhashSignatureMd5(portableShingles(t, shingleK), numHashes))
+      }
+      .toDF("id", "sig")
+
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        concat_ws("|", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+          |           x.sig as sa, y.sig as sb))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
+      .dropDuplicates("a_id", "b_id")
+
+    pairs
+      .withColumn("eq", expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"))
+      .where(col("eq") >= lit(math.ceil(threshold * numHashes).toInt))
+      .select(col("a_id"), col("b_id"),
+        (col("eq") * lit(1000000L / numHashes)).cast("long").as("est_jaccard_micro"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens (unit weights). Row-local. */
@@ -170,19 +254,54 @@ object Dedup {
     sig
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
-    * Blocking: 4×16-bit bands; Hamming ≤ 3 guarantees a shared band. */
+  /** [[simhash64]] with the PORTABLE per-token hash ([[PortableHash]],
+    * md5): bit i (0..63) of a token's contribution is bit (i mod 4) of
+    * hex digit (i div 4) of md5(token) — exactly replicable in DuckDB
+    * SQL (`strpos`/`substr` digit arithmetic + `>>`), which is what lets
+    * the driver oracle the simhash operator end-to-end. ~5-10× slower
+    * than [[simhash64]]; same tokenization (split on ' ', empties
+    * skipped), same majority-bit rule (ties → 0). */
+  def simhash64Md5(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0; val n = text.length
+    while (start < n) {
+      while (start < n && text.charAt(start) == ' ') start += 1
+      var end = start
+      while (end < n && text.charAt(end) != ' ') end += 1
+      if (end > start) {
+        val hex = PortableHash.md5Hex(text.substring(start, end))
+        var i = 0
+        while (i < 64) {
+          val bit = (Character.digit(hex.charAt(i >> 2), 16) >> (i & 3)) & 1
+          if (bit == 1) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      start = end + 1
+    }
+    var sig = 0L; var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Blocking: 4×16-bit bands; Hamming ≤ 3 guarantees a shared band
+    * (pigeonhole), so results are EXACT for `maxHamming` ≤ 3; beyond
+    * that recall is partial (candidates must still collide on a band).
+    * `portable = true` switches the fingerprint to [[simhash64Md5]] so
+    * a SQL oracle can recompute it. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 2000): DataFrame = {
+      maxBucket: Int = 2000,
+      portable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
+      .map { case (id, t) => (id, if (portable) simhash64Md5(t) else simhash64(t)) }
       .toDF("id", "sig")
 
     val banded = sigs.select(col("id"), col("sig"),

@@ -119,6 +119,52 @@ object TextAnalysis {
     out
   }
 
+  /** PORTABLE winnowing ([[graft.ops.PortableHash]]): gram hash =
+    * md5Hex(substr(text, i, k)) with the shingle-style short-text rule
+    * (`substr(text, i, k)` for i in 1..max(len-k+1, 1)); window minima
+    * are lexicographic on the hex strings (= DuckDB varchar order).
+    * Returns the DISTINCT selected gram hashes, sorted — the exact set
+    * a SQL `min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`
+    * replica selects. */
+  def winnowMd5(text: String, k: Int = 8, w: Int = 16): Array[String] = {
+    // (unlike portableShingles, winnowing needs the positional sequence)
+    val n = math.max(text.length - k + 1, 1)
+    val seq = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      seq(i) = graft.ops.PortableHash.md5Hex(
+        text.substring(i, math.min(i + k, text.length)))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    var start = 0
+    val lastStart = seq.length - math.min(w, seq.length)
+    while (start <= lastStart) {
+      var mn = seq(start); var j = start + 1
+      val end = math.min(start + w, seq.length)
+      while (j < end) { if (seq(j).compareTo(mn) < 0) mn = seq(j); j += 1 }
+      sel.add(mn)
+      start += 1
+    }
+    sel.toArray(new Array[String](sel.size))
+  }
+
+  /** Portable fingerprints: distinct winnowed-gram count and one md5
+    * over the sorted selection (comma-joined) — both replicable in
+    * DuckDB, which is what lets the driver oracle this operator. */
+  def fingerprintsPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val hs = winnowMd5(t, k, w)
+        (id, hs.length.toLong, graft.ops.PortableHash.md5Hex(hs.mkString(",")))
+      }
+      .toDF("doc_id", "n_fingerprints", "fingerprint_hex")
+  }
+
   /** Fingerprint each document: doc_id, sorted winnowing hash set and a
     * single 64-bit combined fingerprint. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",

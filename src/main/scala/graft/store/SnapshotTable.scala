@@ -29,9 +29,25 @@ import scala.jdk.CollectionConverters._
   *  - lineage: each manifest records parent version, per-table row
   *    counts for THIS commit's writes, and the caller's metrics map.
   */
+object SnapshotTable {
+  /** A METADATA-ONLY table slice: rows of `table` contributed not by a
+    * data-dir write but by referencing already-written parquet under
+    * `base` (store-relative; e.g. the crawl's prefetch scratch),
+    * filtered by `where` and projected to `select` at read time. The
+    * Iceberg analogue is a metadata-only append of existing data files
+    * — commit cost is zero Spark jobs, which is what removes the
+    * per-wave rewrite of every sample byte from the crawl hot path. */
+  final case class ViewRef(base: String, dirs: Seq[String],
+      where: String, select: Seq[String])
+}
+
 final class SnapshotTable(spark: SparkSession, root: String) {
+  import SnapshotTable.ViewRef
 
   private val mapper = new ObjectMapper()
+
+  /** The store root (ViewRef paths are relative to it). */
+  def rootPath: String = root
 
   private def manifestsDir: Path = Paths.get(root, "manifests")
   private def manifestPath(v: Int): Path = manifestsDir.resolve(f"v$v%05d.json")
@@ -56,6 +72,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def commit(
       replace: Map[String, DataFrame] = Map.empty,
       append: Map[String, DataFrame] = Map.empty,
+      appendRef: Map[String, ViewRef] = Map.empty,
       metrics: Map[String, Long] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
       expectedParent: Option[Int] = None): Int = {
@@ -105,6 +122,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else prior
         name -> dirs
       }.toMap
+    // metadata-only appends: merge each ViewRef's dirs into the parent's
+    // view for that table (same base/where/select required — a view is
+    // ONE projection rule over a growing dir list)
+    val parentViews: Map[String, ViewRef] =
+      parent.map(viewsOf).getOrElse(Map.empty)
+    val views: Map[String, ViewRef] = parentViews ++ appendRef.map { case (name, vr) =>
+      parentViews.get(name) match {
+        case Some(p) =>
+          require(p.base == vr.base && p.where == vr.where && p.select == vr.select,
+            s"view shape changed for table $name")
+          name -> p.copy(dirs = p.dirs ++ vr.dirs)
+        case None => name -> vr
+      }
+    }
     // schemas carried forward so empty-dirs tables stay readable
     val schemas: Map[String, String] =
       parent.map(schemasOf).getOrElse(Map.empty) ++
@@ -112,9 +143,25 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
     Files.createDirectories(manifestsDir)
     val tmp = manifestsDir.resolve(f".tmp-v$v%05d.json")
-    Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics, schemas))
+    Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics, schemas, views))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** The metadata-only views of `version` (empty for pre-view
+    * manifests). */
+  def viewsOf(version: Int): Map[String, ViewRef] = {
+    val node = mapper.readTree(Files.readString(manifestPath(version)))
+    val vn = node.get("views")
+    if (vn == null) Map.empty
+    else vn.properties().asScala.map { e =>
+      val o = e.getValue
+      e.getKey -> ViewRef(
+        o.get("base").asText(),
+        o.get("dirs").elements().asScala.map(_.asText()).toSeq,
+        o.get("where").asText(),
+        o.get("select").elements().asScala.map(_.asText()).toSeq)
+    }.toMap
   }
 
   /** Per-table schema DDL recorded by `commit` (empty for pre-schema
@@ -138,14 +185,29 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def read(table: String, version: Int): DataFrame = {
     val dirs = tableDirs(version).getOrElse(table,
       throw new NoSuchElementException(s"table $table not in snapshot v$version"))
-    if (dirs.isEmpty) {
-      // never materialized (only statically-empty writes so far):
-      // synthesize the empty frame from the manifest-recorded schema
-      val ddl = schemasOf(version).getOrElse(table,
-        throw new NoSuchElementException(s"table $table has no data and no schema at v$version"))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    } else spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*)
+    val view = viewsOf(version).get(table)
+    val dirFrame =
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*))
+    val viewFrame = view.map { vr =>
+      spark.read
+        .option("basePath", Paths.get(root, vr.base).toString)
+        .parquet(vr.dirs.map(d => Paths.get(root, d).toString): _*)
+        .where(vr.where)
+        .selectExpr(vr.select: _*)
+    }
+    (dirFrame, viewFrame) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        // never materialized (only statically-empty writes so far):
+        // synthesize the empty frame from the manifest-recorded schema
+        val ddl = schemasOf(version).getOrElse(table,
+          throw new NoSuchElementException(s"table $table has no data and no schema at v$version"))
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
   }
 
   def readLatest(table: String): Option[DataFrame] =
@@ -175,15 +237,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
       counts: Map[String, Long], metrics: Map[String, Long],
-      schemas: Map[String, String]): String = {
+      schemas: Map[String, String], views: Map[String, ViewRef]): String = {
     def obj(m: Map[String, Long]) =
       m.toSeq.sortBy(_._1).map { case (k, x) => s""""$k": $x""" }.mkString("{", ", ", "}")
+    def strs(xs: Seq[String]) =
+      xs.map(x => mapper.writeValueAsString(x.replace("\\", "/"))).mkString("[", ", ", "]")
     val tbl = tables.toSeq.sortBy(_._1).map { case (k, dirs) =>
-      s""""$k": ${dirs.map(d => "\"" + d.replace("\\", "/") + "\"").mkString("[", ", ", "]")}"""
+      s""""$k": ${strs(dirs)}"""
     }.mkString("{", ", ", "}")
     val sch = schemas.toSeq.sortBy(_._1).map { case (k, ddl) =>
       s""""$k": ${mapper.writeValueAsString(ddl)}"""
     }.mkString("{", ", ", "}")
-    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}, "schemas": $sch}"""
+    val vws = views.toSeq.sortBy(_._1).map { case (k, vr) =>
+      s""""$k": {"base": ${mapper.writeValueAsString(vr.base.replace("\\", "/"))}, "dirs": ${strs(vr.dirs)}, "where": ${mapper.writeValueAsString(vr.where)}, "select": ${strs(vr.select)}}"""
+    }.mkString("{", ", ", "}")
+    s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}, "schemas": $sch, "views": $vws}"""
   }
 }
