@@ -722,11 +722,37 @@ object SparkEntry {
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)),
 
-    "dedup_embedding_lsh" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      Dedup.embeddingNearDupLsh(s.table("embeddings"), threshold = 0.3,
-        nBits = 4, tables = 8)
-    }),
+    // sign-LSH near-dup with PORTABLE Rademacher planes (md5-derived ±1
+    // components, integer-micro dot products — Ann.rademacherPlanes /
+    // signaturePortable): DuckDB recomputes the very signatures, so the
+    // oracle is the exact bucketed-candidate + cosine-threshold rule,
+    // not a recall bound.
+    "dedup_embedding_lsh" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Dedup.embeddingNearDupLsh(s.table("embeddings"), threshold = 0.3,
+          nBits = 4, tables = 8, portable = true)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |em AS (SELECT vec_id, list_transform(v, x -> cast(floor(x * 1000000) as bigint)) AS vi FROM e),
+           |tt AS (SELECT unnest(generate_series(0, 7)) AS t),
+           |bb AS (SELECT unnest(generate_series(0, 3)) AS b),
+           |dd AS (SELECT unnest(generate_series(0, 63)) AS d),
+           |pl AS (SELECT t, b, d,
+           |  CASE WHEN (instr('0123456789abcdef', substr(md5('emb:' || t || ':' || b || ':' || d), 1, 1)) - 1) % 2 = 1
+           |       THEN 1 ELSE -1 END AS w
+           |  FROM tt, bb, dd),
+           |dots AS (SELECT em.vec_id, pl.t, pl.b, sum(pl.w * em.vi[pl.d + 1]) AS dot
+           |         FROM em, pl GROUP BY 1, 2, 3),
+           |sigs AS (SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1 << b) ELSE 0 END) AS sig
+           |         FROM dots GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+           |SELECT c.a_id, c.b_id,
+           |  cast(round(list_cosine_similarity(ea.v, eb.v) * 1000000, 0) as bigint) AS cosine_micro
+           |FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+           |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3""".stripMargin)),
 
     // ---------------- ANN family
     "ann_brute_topk" -> Q(
@@ -747,11 +773,45 @@ object SparkEntry {
           |SELECT query_id, cand_id, rank, cast(round(cosine * 1000000, 0) as bigint) AS cosine_micro
           |FROM r WHERE rank <= 10""".stripMargin)),
 
-    "ann_lsh_topk" -> rowsOnly((s, dir) => {
-      reg(s, dir)
-      val e = s.table("embeddings")
-      Ann.lshTopK(e, e.where(col("vec_id") % 100 === 0), k = 10, probes = 2)
-    }),
+    // ANN LSH with the same portable planes (tag "ann"), multi-probe at
+    // Hamming ≤ 1 — oracle recomputes signatures, probing, candidate
+    // set and the exact per-query top-k over candidates.
+    "ann_lsh_topk" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val e = s.table("embeddings")
+        Ann.lshTopK(e, e.where(col("vec_id") % 100 === 0), k = 10, probes = 2,
+          portable = true)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |em AS (SELECT vec_id, list_transform(v, x -> cast(floor(x * 1000000) as bigint)) AS vi FROM e),
+           |tt AS (SELECT unnest(generate_series(0, 3)) AS t),
+           |bb AS (SELECT unnest(generate_series(0, 5)) AS b),
+           |dd AS (SELECT unnest(generate_series(0, 63)) AS d),
+           |pl AS (SELECT t, b, d,
+           |  CASE WHEN (instr('0123456789abcdef', substr(md5('ann:' || t || ':' || b || ':' || d), 1, 1)) - 1) % 2 = 1
+           |       THEN 1 ELSE -1 END AS w
+           |  FROM tt, bb, dd),
+           |dots AS (SELECT em.vec_id, pl.t, pl.b, sum(pl.w * em.vi[pl.d + 1]) AS dot
+           |         FROM em, pl GROUP BY 1, 2, 3),
+           |sigs AS (SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1 << b) ELSE 0 END) AS sig
+           |         FROM dots GROUP BY 1, 2),
+           |qs AS (SELECT vec_id, t, sig FROM sigs WHERE vec_id % 100 = 0),
+           |probed AS (SELECT vec_id, t, sig FROM qs
+           |           UNION ALL
+           |           SELECT q.vec_id, q.t, xor(q.sig, (1 << f.b)) AS sig
+           |           FROM qs q, (SELECT unnest(generate_series(0, 5)) AS b) f),
+           |cand AS (SELECT DISTINCT p.vec_id AS query_id, s.vec_id AS cand_id
+           |         FROM probed p JOIN sigs s ON s.t = p.t AND s.sig = p.sig
+           |         WHERE p.vec_id <> s.vec_id),
+           |sim AS (SELECT query_id, cand_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+           |        FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id),
+           |r AS (SELECT query_id, cand_id, cosine,
+           |        cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) as int) AS rank
+           |      FROM sim)
+           |SELECT query_id, cand_id, rank, cast(round(cosine * 1000000, 0) as bigint) AS cosine_micro
+           |FROM r WHERE rank <= 10""".stripMargin)),
 
     // ---------------- text analysis family
     "lang_id" -> Q(
@@ -886,45 +946,118 @@ object SparkEntry {
             "FROM s GROUP BY user_id, session_id"))),
 
     // ---------------- ELM title scoring (§2.9, deterministic seed)
-    "elm_title_score" -> rowsOnly((s, dir) => {
-      import s.implicits._
-      reg(s, dir)
-      val docs = s.table("documents")
-        .select(col("doc_id").cast("long"), col("text"), col("lang"))
-        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
-      // "titles" = first 8 tokens of each doc; labels = lang == 'en'
-      val titles = docs.map(d => Tokenize.terms(d._2).take(8))
-      val m = TfIdf.fit(titles)
-      val selected = TfIdf.selectTerms(m, 0.5)
-      val (x, _) = TfIdf.elmTrainMatrix(m, selected, 0.5)
-      val y = docs.map(d => if (d._3 == "en") 1.0 else 0.0).toArray
-      val model = Elm.train(x, y, nHidden = 20, seed = 42L)
-      val scored = docs.zip(x).map { case ((id, _, _), xi) =>
-        (id, model.predict(xi), math.rint(model.decision(xi) * 1e6).toLong)
-      }
-      s.createDataset(scored).toDF("doc_id", "elm_pred", "elm_decision_micro")
-    }),
+    //
+    // DISTRIBUTED train + score: TF-IDF stats (df, norms, activity) are
+    // DataFrame aggregates; the selected vocab (the model's small
+    // artifact) is collected + broadcast; β comes from the Gram-sum
+    // solve ([[Elm.trainDistributed]] — rows never reach the driver);
+    // scoring is a broadcast-weights typed map. The trained weights are
+    // persisted to a side parquet ([[ElmSide]]) so the DuckDB oracle
+    // re-derives every score from documents + weights alone:
+    // tokenize → tfidf → micro-quantized activity → σ(Wx+b)·β.
+    //
+    // Feature activity uses round(tfidf·1e6) ≥ 500000 in BOTH engines:
+    // the micro quantization absorbs cross-engine ulp noise at the
+    // reference's 0.5 threshold (e.g. a title of exactly 4 equal-idf
+    // terms lands EXACTLY on 0.5, where raw-double comparisons diverge).
+    "elm_title_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        reg(s, dir)
+        val toks = s.table("documents")
+          .select(col("doc_id").cast("long"), col("text"), col("lang"))
+          .as[(Long, String, String)]
+          .map { case (id, text, lang) =>
+            (id, Tokenize.terms(text).take(8).toArray,
+              if (lang == "en") 1.0 else 0.0)
+          }.toDF("doc_id", "toks", "y").cache()
+        val nDocs = toks.count()
+        // distinct (doc, term) + first-occurrence key (doc asc, pos asc)
+        val dt = toks.select(col("doc_id"), col("y"),
+            posexplode(col("toks")).as(Seq("pos", "term")))
+          .groupBy("doc_id", "term")
+          .agg(min(col("doc_id") * 8 + col("pos")).as("fk"))
+        val withIdf = dt.join(
+          dt.groupBy("term").agg(count(lit(1)).as("df"), min("fk").as("first_key")),
+          "term")
+          .withColumn("idf", log(lit(nDocs.toDouble) / col("df")) + lit(1.0))
+        val act0 = withIdf
+          .withColumn("nrm", sqrt(sum(col("idf") * col("idf"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+          .where(round(col("idf") / col("nrm") * 1e6, 0) >= 500000)
+        // selected vocab in first-occurrence order → feature index c
+        val voc = act0.select("term", "first_key").distinct()
+          .orderBy("first_key").select("term").as[String].collect()
+        val vocIdx = s.sparkContext.broadcast(voc.zipWithIndex.toMap)
+        val act = act0.select(col("doc_id"), col("term")).as[(Long, String)]
+          .map { case (id, t) => (id, vocIdx.value(t)) }.toDF("doc_id", "c")
+        val xr = toks.select("doc_id", "y")
+          .join(act.groupBy("doc_id").agg(collect_list("c").as("cs")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("y"),
+            coalesce(col("cs"), typedLit(Seq.empty[Int])).as("cs"))
+          .as[(Long, Double, Seq[Int])].cache()
+        val d = voc.length
+        val dense = xr.map { case (_, y, cs) =>
+          val x = new Array[Double](d)
+          cs.foreach(c => x(c) = 1.0)
+          (x, y)
+        }
+        val model = Elm.trainDistributed(dense, nFeatures = d, nHidden = 20, seed = 42L)
+        ElmSide.writeElm(s, voc, model)
+        val bc = s.sparkContext.broadcast(model)
+        val out = xr.map { case (id, _, cs) =>
+          val m = bc.value
+          var dec = 0.0
+          val sorted = cs.sorted // ascending c = the dense-loop add order
+          var h = 0
+          while (h < m.w.length) {
+            var z = m.b(h)
+            sorted.foreach(c => z += m.w(h)(c))
+            dec += m.beta(h) * Elm.sigmoid(z)
+            h += 1
+          }
+          (id, dec)
+        }.toDF("doc_id", "dec")
+          .select(col("doc_id"),
+            (round(col("dec") * 1e6, 0) >= 0).cast("long").as("elm_pred"),
+            round(col("dec") * 1e6, 0).cast("long").as("elm_decision_micro"))
+        toks.unpersist(); xr.unpersist()
+        out
+      },
+      Some(ElmSide.elmOracleSql)),
 
     // ---------------- LC-ELM ensemble (train/lc-elm.py:20-103)
-    "lcelm_score" -> rowsOnly((s, dir) => {
-      import s.implicits._
-      reg(s, dir)
-      val docs = s.table("documents")
-        .select(col("doc_id").cast("long"), col("text"), col("lang"))
-        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
-      // features = quality-style scalars; labels = lang == 'en'
-      val x = docs.map { d =>
-        val words = d._2.split(" ").count(_.nonEmpty).toDouble
-        Array(d._2.length.toDouble / 1000.0, words / 100.0,
-          d._2.count(_ == 'e').toDouble / math.max(d._2.length, 1))
-      }.toArray
-      val y = docs.map(d => if (d._3 == "en") 1.0 else 0.0).toArray
-      val model = graft.tfidf.LcElm.train(x, y, nEstimators = 5, nHidden = 12, seed = 42L)
-      val scored = docs.zip(x).map { case ((id, _, _), xi) =>
-        (id, model.predict(xi), math.rint(model.decision(xi) * 1e6).toLong)
-      }
-      s.createDataset(scored).toDF("doc_id", "lcelm_pred", "lcelm_decision_micro")
-    })
+    // Same shape: distributed Gram-sum training for all 5 members + the
+    // linear combiner ([[LcElm.trainDistributed]]), persisted weights,
+    // DuckDB re-scores every document (features are plain SQL scalars).
+    "lcelm_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        reg(s, dir)
+        val rows = s.table("documents")
+          .select(col("doc_id").cast("long"), col("text"), col("lang"))
+          .as[(Long, String, String)]
+          .map { case (id, t, lang) =>
+            val words = t.split(" ").count(_.nonEmpty).toDouble
+            (id, Array(t.length.toDouble / 1000.0, words / 100.0,
+              t.count(_ == 'e').toDouble / math.max(t.length, 1)),
+              if (lang == "en") 1.0 else 0.0)
+          }.toDF("doc_id", "x", "y").cache()
+        val model = graft.tfidf.LcElm.trainDistributed(
+          rows.select("x", "y").as[(Array[Double], Double)],
+          nFeatures = 3, nEstimators = 5, nHidden = 12, seed = 42L)
+        ElmSide.writeLcElm(s, model)
+        val bc = s.sparkContext.broadcast(model)
+        val out = rows.select("doc_id", "x").as[(Long, Array[Double])]
+          .map { case (id, x) => (id, bc.value.decision(x)) }
+          .toDF("doc_id", "dec")
+          .select(col("doc_id"),
+            (round(col("dec") * 1e6, 0) > 0).cast("long").as("lcelm_pred"),
+            round(col("dec") * 1e6, 0).cast("long").as("lcelm_decision_micro"))
+        rows.unpersist()
+        out
+      },
+      Some(ElmSide.lcelmOracleSql))
   )
 
   // ------------------------------------------------------------- contract

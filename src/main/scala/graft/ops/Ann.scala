@@ -70,6 +70,43 @@ object Ann {
       }
     }
 
+  /** PORTABLE Rademacher hyperplanes ([[PortableHash]], md5): component
+    * (b, d) is +1 when the first hex digit of md5("tag:b:d") is odd,
+    * else -1 — reproducible in DuckDB as `strpos`/`substr` arithmetic.
+    * ±1 planes are the standard derandomized sign-LSH family (random
+    * projections with Rademacher entries preserve cosine sign
+    * statistics like gaussian ones). */
+  def rademacherPlanes(nBits: Int, dim: Int, tag: String): Array[Array[Int]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        if ((PortableHash.digit(PortableHash.md5Hex(s"$tag:$b:$d"), 0) & 1) == 1) 1 else -1
+      }
+    }
+
+  /** Portable sign-LSH signature: bit b set when
+    * Σ_d plane(b,d) · floor(v_d · 1e6) ≥ 0. The dot product runs over
+    * EXACT int64 micro components (floor of the exact float→double
+    * product), so it is order-independent and bit-identical to a SQL
+    * replica — no cross-engine float-summation knife edges at the sign
+    * threshold. */
+  def signaturePortable(v: Array[Float], planes: Array[Array[Int]]): Int = {
+    var sig = 0; var b = 0
+    while (b < planes.length) {
+      val p = planes(b); var dot = 0L; var i = 0
+      val n = math.min(v.length, p.length)
+      while (i < n) { dot += p(i) * math.floor(v(i).toDouble * 1e6).toLong; i += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Shared-dialect SQL fragment for one portable plane component:
+    * ±1 from the first hex digit of md5('tag:b:d') — the exact
+    * [[rademacherPlanes]] rule. `b`/`d` are SQL expressions. */
+  def planeSql(tag: String, b: String, d: String): String =
+    s"(CASE WHEN (instr('0123456789abcdef', substr(md5('$tag:' || ($b) || ':' || ($d)), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END)"
+
   /** Sign-LSH signature of a vector under the shared hyperplanes. */
   def signature(v: Array[Float], planes: Array[Array[Double]]): Int = {
     var sig = 0; var b = 0
@@ -100,16 +137,25 @@ object Ann {
       probes: Int = 1,
       tables: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      portable: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(
-      Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed = 42L + 1000L * t)))
+      if (portable) null
+      else Array.tabulate(tables)(t => hyperplanes(nBits, dim, seed = 42L + 1000L * t)))
+    val pPlanes = spark.sparkContext.broadcast(
+      if (portable) Array.tabulate(tables)(t => rademacherPlanes(nBits, dim, s"ann:$t"))
+      else null)
 
     def sigOf(df: DataFrame, id: String, vec: String, outId: String, outVec: String): DataFrame =
       df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
         .flatMap { case (i, v) =>
-          planes.value.indices.map(t => (i, v, t, signature(v, planes.value(t))))
+          (0 until tables).map { t =>
+            val s = if (portable) signaturePortable(v, pPlanes.value(t))
+                    else signature(v, planes.value(t))
+            (i, v, t, s)
+          }
         }
         .toDF(outId, outVec, "tbl", "sig")
 

@@ -380,14 +380,23 @@ object Dedup {
       dim: Int = 64,
       maxBucket: Int = 2000,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      portable: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = spark.sparkContext.broadcast(
-      Array.tabulate(tables)(t => Ann.hyperplanes(nBits, dim, seed = 77L + 1000L * t)))
+      if (portable) null
+      else Array.tabulate(tables)(t => Ann.hyperplanes(nBits, dim, seed = 77L + 1000L * t)))
+    val pPlanes = spark.sparkContext.broadcast(
+      if (portable) Array.tabulate(tables)(t => Ann.rademacherPlanes(nBits, dim, s"emb:$t"))
+      else null)
     val sigs = emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .flatMap { case (i, v) =>
-        planes.value.indices.map(t => (i, v, t, Ann.signature(v, planes.value(t))))
+        (0 until tables).map { t =>
+          val s = if (portable) Ann.signaturePortable(v, pPlanes.value(t))
+                  else Ann.signature(v, planes.value(t))
+          (i, v, t, s)
+        }
       }.toDF("id", "v", "tbl", "sig")
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
