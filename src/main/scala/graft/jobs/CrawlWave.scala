@@ -224,8 +224,11 @@ final class CrawlWave(
   // fetch+extract of the WHOLE plan, one co-partitioned join + one
   // extraction pass (see prefetchAll)
   private var prefetched: DataFrame = _
-  // serialized seen-filter blobs carried between waves (store-backed)
-  private var blobState: Array[(Int, Array[Byte])] = _
+  // serialized seen-filter blobs carried between waves (store-backed).
+  // Written by the pipelined-commit thread, read by the driver thread;
+  // a stale read is SOUND (planned waves are URL-disjoint) but must be
+  // un-torn, hence volatile.
+  @volatile private var blobState: Array[(Int, Array[Byte])] = _
   // in-flight async commit (pipelineCommits mode)
   private var pending: Option[scala.concurrent.Future[Int]] = None
 
@@ -394,8 +397,11 @@ final class CrawlWave(
     // Blobs are carried in memory between waves (store read only on the
     // first wave of an instance / after resume). Planned waves are
     // URL-disjoint, so guarding AFTER the prefetched fetch selects
-    // exactly the rows the fetch-then-guard order would have fetched.
-    val seen = store.read("seen", v)
+    // exactly the rows the fetch-then-guard order would have fetched —
+    // and blobs missing an IN-FLIGHT sibling wave's delta are equivalent
+    // to current ones (no planned wave's keys appear in another's), so
+    // the guard may read `blobState` without awaiting the pipelined
+    // commit that updates it.
     val blobs: Array[(Int, Array[Byte])] =
       if (blobState != null) blobState
       else store.read("seen_bloom", v).as[(Int, Array[Byte])].collect()
@@ -407,29 +413,39 @@ final class CrawlWave(
     val mightContainUdf = udf { (h: Long) =>
       bloomBc.value.get(java.lang.Math.floorMod(h, P.toLong).toInt).exists(_.mightContain(h))
     }
-    // `excluded` = the slice's TRUE-seen url hashes: bloom suspects,
-    // confirmed by a semi-join against the exact seen table. Usually
-    // EMPTY (planned waves are URL-disjoint; only a cross-generation /
-    // resumed-store repeat lands here), always tiny, so every consumer
-    // below guards with a BROADCAST anti-join and reads only the pruned
-    // scratch columns it needs — the text column is decoded exactly
-    // once more (the samples write), never cached on the JVM heap.
-    val excluded = slice.select("url_hash")
-      .where(mightContainUdf(col("url_hash")))
-      .join(seen.select("url_hash"), Seq("url_hash"), "left_semi")
-      .cache()
-    // Materialize the guard FIRST (one tiny job: pruned url_hash column
-    // + bloom prefilter + semi-join). In the common case — planned
-    // waves are URL-disjoint, so only cross-generation / resumed-store
-    // repeats are ever excluded — the set is EMPTY and every consumer
-    // below skips its anti-join entirely (simpler plans, no broadcast
-    // build per job).
-    val nExcluded = excluded.count()
+    val narrow = slice.select("url_hash", "seq", "host", "wave", "ok",
+      "render_match", "text_len")
+
+    // THE wave's one synchronous job: totals for the commit manifest +
+    // the bloom-SUSPECT count, in a single pruned-column agg. Suspects
+    // are ~always zero mid-generation (planned waves are URL-disjoint;
+    // false positives at the design fill rate are ~1e-6), so the exact
+    // seen-table confirm below is a rare path — the common-case wave
+    // loop runs exactly one job before handing off to the async commit.
+    val stats = narrow.agg(
+      count(lit(1)),
+      sum(when(!col("ok"), 1L).otherwise(0L)),
+      sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L)),
+      sum(when(mightContainUdf(col("url_hash")), 1L).otherwise(0L))).head
+    def longAt(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+    val nSuspects = longAt(3)
+
+    // `excluded` = the slice's TRUE-seen url hashes: bloom suspects
+    // confirmed by a semi-join against the exact seen table (only
+    // cross-generation / resumed-store repeats land here); every
+    // consumer guards with a BROADCAST anti-join over the tiny set.
+    val (nExcluded, excluded) =
+      if (nSuspects == 0) (0L, null: DataFrame)
+      else {
+        val ex = slice.select("url_hash")
+          .where(mightContainUdf(col("url_hash")))
+          .join(store.read("seen", v).select("url_hash"), Seq("url_hash"), "left_semi")
+          .cache()
+        (ex.count(), ex)
+      }
     def kept(df: DataFrame): DataFrame =
       if (nExcluded == 0) df
       else df.join(broadcast(excluded), Seq("url_hash"), "left_anti")
-    val narrow = slice.select("url_hash", "seq", "host", "wave", "ok",
-      "render_match", "text_len")
 
     // common path (nothing excluded): samples/errors join the snapshot
     // as METADATA-ONLY references to this wave's prefetch-scratch slice
@@ -457,6 +473,17 @@ final class CrawlWave(
         col("wave"))
     }
 
+    // rare path (repeats found): the manifest totals must count KEPT
+    // rows only — re-run the tiny agg with the exclusion join
+    val keptStats =
+      if (nExcluded == 0) stats
+      else kept(narrow).agg(
+        count(lit(1)),
+        sum(when(!col("ok"), 1L).otherwise(0L)),
+        sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L))).head
+    def keptAt(i: Int): Long = if (keptStats.isNullAt(i)) 0L else keptStats.getLong(i)
+    val nSel = keptAt(0); val nErr = keptAt(1); val nMismatch = keptAt(2)
+
     // seen DELTA (append) + incremental filter blob update: each touched
     // partition's filter is rebuilt DISTRIBUTED (copy of the broadcast
     // old blob + this wave's delta keys inserted in the executor);
@@ -466,10 +493,10 @@ final class CrawlWave(
     val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
     val cuckooCap = cfg.cuckooCapacityPerPartition
 
-    // per-partition × per-host lineage metrics (north_rule): aggregated
+    // per-partition × per-host lineage metrics (north_rule), aggregated
     // over the pruned narrow columns (text_len stands in for the text
-    // column), feeding both the `metrics` append table and the
-    // driver-side wave stats.
+    // column). Computed inside the (async) commit write — never a
+    // synchronous wave job.
     val metricsNew = kept(narrow)
       .withColumn("part_id", spark_partition_id())
       .groupBy(col("wave"), col("part_id"), col("host"))
@@ -478,55 +505,46 @@ final class CrawlWave(
         sum(when(!col("ok"), 1L).otherwise(0L)).as("errors"),
         sum(when(col("ok") && !col("render_match"), 1L).otherwise(0L)).as("render_mismatches"),
         sum(when(col("ok"), col("text_len")).otherwise(0L)).as("text_bytes"))
-      .cache()
 
-    // materialize the heavy lineage EXACTLY ONCE: the stats action fills
-    // the prefetched → outcomes → metricsNew caches in one job; the blob
-    // rebuild then reads the outcomes cache (cheap). Running these as
-    // concurrent jobs (as earlier revisions did) DOUBLE-COMPUTES the
-    // shared cache-fill prefix at high core counts — both jobs' tasks
-    // race the same partitions before cache entries land.
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    val stats =
-      metricsNew.agg(sum("urls"), sum("errors"), sum("render_mismatches")).head
-    val updatedBlobs =
-      seenDelta.as[(Int, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (p, it) =>
-          val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
-            SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
-          it.foreach(t => f.put(t._2))
-          (p, f.serialize)
-        }
-        .collect()
-    val touched = updatedBlobs.map(_._1).toSet
-    val mergedBlobs = updatedBlobs ++
-      blobs.filter { case (p, _) => !touched.contains(p) }
-    val blobsDf = spark.createDataset(mergedBlobs.toSeq).toDF("part", "blob")
-    def longAt(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
-    val nSel = longAt(0); val nErr = longAt(1); val nMismatch = longAt(2)
 
-    // 6. commit — compute above overlapped the PREVIOUS wave's flush;
-    // now order the publishes: await the predecessor, then commit this
-    // wave (async unless it's the last wave or pipelining is off)
+    // 6. commit — EVERYTHING below (blob rebuild, table writes, manifest
+    // publish) rides the pipelined commit and overlaps the next wave's
+    // compute; the publishes stay strictly ordered (each awaits its
+    // predecessor). The next wave reading a not-yet-updated `blobState`
+    // is sound: planned waves are URL-disjoint (see the guard comment).
     val parent = awaitPending().getOrElse(v)
     val isLast = wave == planMaxWave
-    val replaceTables =
-      if (!isLast) Map("seen_bloom" -> blobsDf)
-      else {
-        // final wave → reconcile the full frontier once (plan + deltas)
-        val allDeltas = store.read("frontier_delta", parent)
-          .unionByName(frontierDelta)
-          .select(col("seq"), col("state").as("d_state"))
-        val finalFrontier = plan
-          .join(allDeltas, Seq("seq"), "left")
-          .withColumn("state", coalesce(col("d_state"), col("state")))
-          .drop("d_state")
-        Map("seen_bloom" -> blobsDf, "frontier" -> finalFrontier)
-      }
 
     def doCommit(): Int = {
+      val updatedBlobs =
+        seenDelta.as[(Int, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (p, it) =>
+            val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
+              SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
+            it.foreach(t => f.put(t._2))
+            (p, f.serialize)
+          }
+          .collect()
+      val touched = updatedBlobs.map(_._1).toSet
+      val mergedBlobs = updatedBlobs ++
+        blobs.filter { case (p, _) => !touched.contains(p) }
+      val blobsDf = spark.createDataset(mergedBlobs.toSeq).toDF("part", "blob")
+      val replaceTables =
+        if (!isLast) Map("seen_bloom" -> blobsDf)
+        else {
+          // final wave → reconcile the full frontier once (plan + deltas)
+          val allDeltas = store.read("frontier_delta", parent)
+            .unionByName(frontierDelta)
+            .select(col("seq"), col("state").as("d_state"))
+          val finalFrontier = plan
+            .join(allDeltas, Seq("seq"), "left")
+            .withColumn("state", coalesce(col("d_state"), col("state")))
+            .drop("d_state")
+          Map("seen_bloom" -> blobsDf, "frontier" -> finalFrontier)
+        }
       val appendDf: Map[String, org.apache.spark.sql.DataFrame] =
         if (refCommit)
           Map("seen" -> seenDelta, "metrics" -> metricsNew,
@@ -550,11 +568,11 @@ final class CrawlWave(
           "errors" -> nErr, "render_mismatches" -> nMismatch),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
-      excluded.unpersist(); metricsNew.unpersist()
+      blobState = mergedBlobs
+      if (excluded != null) excluded.unpersist()
       c
     }
 
-    blobState = mergedBlobs
     nextWave += 1
     val committed =
       if (cfg.pipelineCommits && !isLast) {
