@@ -152,6 +152,26 @@ object SparkEntry {
     new SnapshotTable(s, root)
   }
 
+  /** Like [[engineStore]] but with frontier growth on (its own store —
+    * the discovery generation must not disturb the seed-plan oracles). */
+  private val discoverRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def discoverStore(s: SparkSession, dir: String): SnapshotTable = {
+    val root = discoverRoots.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-disc-").toString
+      val pages = Fixtures.pages(s, dir).toDF.cache()
+      val store = new SnapshotTable(s, tmp)
+      val cw = new CrawlWave(s, pages, store, CrawlWave.Config(
+        wavePeriodMs = WavePeriodMs,
+        partitions = math.max(s.sparkContext.defaultParallelism, 4),
+        discover = true, maxGenerations = 3))
+      cw.runAll(Fixtures.seeds(s, dir))
+      pages.unpersist()
+      tmp
+    })
+    new SnapshotTable(s, root)
+  }
+
   // ------------------------------------------------- S9/S10/S11 file fixtures
 
   /** Per-sf temp directory holding the file-format source fixtures
@@ -395,6 +415,52 @@ object SparkEntry {
       Some(Synth.duck(withSeeds(
         s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte
            |SELECT count(*) AS seen_count FROM allowed""".stripMargin)))),
+
+    // ---------------- frontier GROWTH (§2.7 discovered URLs): the live
+    // engine with discovery on vs a full SQL replica of the outlink
+    // rules (md5-portable, NetSynth.link*Sql), frontier anti-join,
+    // sorted seq assignment and the generation-1 politeness schedule.
+    // Every discovered URL is absent from the pages table, so its
+    // terminal state is the fetch-miss error — also SQL-derivable.
+    "crawl_discovery" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val maxSeed = Fixtures.seeds(s, dir).agg(max("seq")).head.getLong(0)
+        discoverStore(s, dir).readLatest("frontier").get
+          .where(col("seq") > maxSeed)
+          .select(col("seq"), col("url"), col("state"),
+            col("wave").cast("int").as("wave"))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte,
+           |pg AS (SELECT url, host FROM allowed WHERE NOT ${NetSynth.fetchMissSql("url")}),
+           |ii AS (SELECT unnest(generate_series(0, 4)) AS i),
+           |cand AS (SELECT p.url, p.host, ii.i FROM pg p, ii
+           |         WHERE ii.i < 2 + ${NetSynth.linkCountSql("p.url")}),
+           |lk AS (SELECT url, host, i,
+           |         ${NetSynth.linkKindSql("url", "i")} AS kind,
+           |         ${NetSynth.linkExtSql("url", "i")} AS ext FROM cand),
+           |links AS (SELECT
+           |    CASE WHEN kind = 0 THEN 'http://' || host || '/page' || cast(i as string) || '.html'
+           |         WHEN kind = 1 THEN 'http://ext' || cast(ext as string) || '.example.org/x' || cast(i as string)
+           |    END AS url,
+           |    CASE WHEN kind = 0 THEN host
+           |         ELSE 'ext' || cast(ext as string) || '.example.org' END AS dhost
+           |  FROM lk WHERE kind <= 1),
+           |newu AS (SELECT url, min(dhost) AS host FROM links
+           |         WHERE url NOT IN (SELECT url FROM seeds) GROUP BY url),
+           |disc AS (SELECT (SELECT max(seq) FROM seeds) + row_number() OVER (ORDER BY url) AS seq,
+           |                url, host FROM newu),
+           |dallow AS (SELECT seq, url, host FROM disc
+           |  WHERE NOT (length(host) % 3 = 0 AND substr(url, instr(url, '/p/') + 3, 1) = '3')),
+           |dsch AS (SELECT seq, url, host,
+           |    cast(row_number() OVER (PARTITION BY host ORDER BY seq) as int) AS host_rank,
+           |    greatest(cast(1 as bigint), cast(floor($WavePeriodMs / ((length(host) % 4 + 1) * 100)) as bigint)) AS tokens
+           |  FROM dallow)
+           |SELECT seq, url, 'error' AS state,
+           |  cast((SELECT max(wave) FROM scheduled) + 1
+           |       + floor((host_rank - 1.0) / tokens) as int) AS wave
+           |FROM dsch""".stripMargin)))),
 
     // ---------------- skew plan (A: salting)
     "skew_salt_plan" -> Q(

@@ -55,6 +55,34 @@ object NetSynth {
   def fetchMissSql(urlCol: String): String =
     s"(substr(md5($urlCol), 1, 1) = '0' AND substr(md5($urlCol), 2, 1) < '7')"
 
+  // ---- body outlinks (md5-derived so the DISCOVERED-URL set is
+  // SQL-derivable in both engines — same portability trick as
+  // isFetchMiss; the `crawl_discovery` oracle recomputes these rules in
+  // DuckDB). Hex digit p (1-based) of md5(s), as an int in 0..15.
+  private def md5Digit(s: String, p: Int): Int = {
+    val c = graft.ops.PortableHash.md5Hex(s).charAt(p - 1)
+    if (c <= '9') c - '0' else c - 'a' + 10
+  }
+
+  /** Extra `<a href>` count beyond the 2 baseline links (0..3). */
+  def linkCount(url: String): Int = md5Digit(url, 1) % 4
+
+  /** Link-kind selector for link i: 0 same-domain page, 1 external
+    * host, 2 relative, 3 fragment, 4 javascript. */
+  def linkKind(url: String, i: Int): Int = md5Digit(s"$url#a$i", 1) % 5
+
+  /** External-host index for kind-1 links (0..6). */
+  def linkExt(url: String, i: Int): Int = md5Digit(s"$url#a$i", 2) % 7
+
+  /** [[linkCount]]/[[linkKind]]/[[linkExt]] as shared-dialect SQL
+    * (DuckDB `instr` is 1-based, matching Spark). */
+  def linkCountSql(urlCol: String): String =
+    s"((instr('0123456789abcdef', substr(md5($urlCol), 1, 1)) - 1) % 4)"
+  def linkKindSql(urlCol: String, iCol: String): String =
+    s"((instr('0123456789abcdef', substr(md5($urlCol || '#a' || cast($iCol as string)), 1, 1)) - 1) % 5)"
+  def linkExtSql(urlCol: String, iCol: String): String =
+    s"((instr('0123456789abcdef', substr(md5($urlCol || '#a' || cast($iCol as string)), 2, 1)) - 1) % 7)"
+
   val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
 
   /** Content-type alone (cheap) — lets the engine pick the decode
@@ -117,11 +145,11 @@ object NetSynth {
       sb ++= "<button type=\"submit\">Send</button>\n</form>\n"
     }
     var i = 0
-    val nLinks = 2 + pos(h, 4)
+    val nLinks = 2 + linkCount(url)
     while (i < nLinks) {
-      val href = pos(h + i, 5) match {
+      val href = linkKind(url, i) match {
         case 0 => s"http://$domain/page$i.html"
-        case 1 => s"http://ext${pos(h + i, 7)}.example.org/x$i"
+        case 1 => s"http://ext${linkExt(url, i)}.example.org/x$i"
         case 2 => s"/relative/$i"
         case 3 => "#"
         case _ => "javascript:void(0);"

@@ -75,16 +75,28 @@ object CrawlWave {
       // step() then returns a PREDICTED version before the flush lands,
       // so callers that read the store right after a step must await
       // (runAll does; direct step() drivers in tests want sync mode).
-      pipelineCommits: Boolean = false)
+      pipelineCommits: Boolean = false,
+      // frontier GROWTH: when a generation's plan drains, extract
+      // outlinks from its fetched bodies ([[graft.html.LinkExtract]]),
+      // drop URLs already in the frontier, and re-plan the remainder as
+      // generation g+1 through the same robots+politeness path. Must be
+      // on from the first wave (link extraction happens at fetch time).
+      discover: Boolean = false,
+      // generation cap (seed plan = generation 0) — the crawl also stops
+      // on its own when a generation discovers nothing new
+      maxGenerations: Int = 8)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
       err: String, text: String, features: Seq[Double], render_match: Boolean)
 
-  /** [[Outcome]] + the url hash the seen-set guard keys on (internal to
-    * the prefetched-fetch cache; stripped before any table write). */
+  /** [[Outcome]] + the url hash the seen-set guard keys on + the body's
+    * extracted outlinks (internal to the prefetched-fetch cache; both
+    * stripped before any table write — links feed the next generation's
+    * discovery, empty unless `cfg.discover`). */
   final case class OutcomeK(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
-      err: String, text: String, features: Seq[Double], render_match: Boolean, url_hash: Long)
+      err: String, text: String, features: Seq[Double], render_match: Boolean, url_hash: Long,
+      links: Seq[String])
 
   final case class FetchRow(seq: Long, url: String, host: String, wave: Int, url_hash: Long,
       warc_ts: Option[java.sql.Timestamp], html: Option[Array[Byte]], text_hash: Option[Long])
@@ -164,12 +176,16 @@ object CrawlWave {
 
   /** Decode/liveness/render/extract for one fetched row — the whole
     * per-URL reference pipeline as a pure function (object-level so the
-    * task closure serializes no driver state). */
-  def fetchOutcome(r: FetchRow): OutcomeK = r.html match {
+    * task closure serializes no driver state). `withLinks` additionally
+    * extracts the body's outlinks from EVERY fetch hit (dead pages too —
+    * liveness gates sampling, not discovery) for frontier growth. */
+  def fetchOutcome(r: FetchRow): OutcomeK = fetchOutcome(r, withLinks = false)
+
+  def fetchOutcome(r: FetchRow, withLinks: Boolean): OutcomeK = r.html match {
     case None =>
       // requests-exception analogue (spider.py:208-244, S7)
       OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, "fetch failed (no response)",
-        null, null, render_match = false, r.url_hash)
+        null, null, render_match = false, r.url_hash, Nil)
     case Some(bytes) =>
       // sandbox S5: per-row deterministic net info. The page BODY is
       // decoded from the fetched bytes — forUrlNoBody skips the
@@ -178,18 +194,20 @@ object CrawlWave {
       // identical by utf-8 round trip).
       val ct = NetSynth.contentTypeOf(r.url)
       val content = CharsetDecode.decode(bytes, CharsetDecode.headerCharset(ct))
+      val links = if (withLinks) graft.html.LinkExtract.links(content) else Nil
       val synth = NetSynth.forUrlNoBody(r.url, content.length)
       val verdict = Liveness.isAlive(Some(synth.contentType), content, synth.status)
       if (!verdict.alive)
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, verdict.err, null, null,
-          render_match = false, r.url_hash)
+          render_match = false, r.url_hash, links)
       else {
         val text = SampleRender.render(r.url, content, synth.net)
         val asOf = r.warc_ts.map(_.toInstant.getEpochSecond)
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-          features.toSeq, render_match = r.text_hash.contains(hashText(text)), r.url_hash)
+          features.toSeq, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
+          links)
       }
   }
 }
@@ -221,6 +239,12 @@ final class CrawlWave(
   private var plan: DataFrame = _
   private var planMaxWave: Int = -1
   private var nextWave: Int = 0
+  // crawl generation: 0 = the seed plan; +1 per discovery re-plan.
+  // Each generation owns its prefetch scratch dataset (gen 0 keeps the
+  // bare name so pre-discovery stores stay readable).
+  private var generation: Int = 0
+  private def scratchName: String =
+    if (generation == 0) "prefetch" else s"prefetch_g$generation"
   // fetch+extract of the WHOLE plan, one co-partitioned join + one
   // extraction pass (see prefetchAll)
   private var prefetched: DataFrame = _
@@ -256,8 +280,10 @@ final class CrawlWave(
     * New URLs discovered mid-crawl would re-enter through a re-plan of
     * the not-yet-scheduled remainder (same code path, next generation).
     */
-  def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
-    val frontier0 = initFrontier(seeds)
+  /** Robots deny + politeness schedule over an [[initFrontier]]-shaped
+    * frame; scheduled rows get wave numbers starting at `waveOffset`
+    * (0 for the seed plan, lastWave+1 for discovery generations). */
+  private def schedulePlan(frontier0: DataFrame, waveOffset: Int): DataFrame = {
     val agent = cfg.agent
     val denied =
       if (!cfg.robots) frontier0.withColumn("crawl_delay_ms", lit(null).cast("long"))
@@ -276,21 +302,28 @@ final class CrawlWave(
       }
     val scheduled = Politeness
       .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs)
-      .withColumn("wave", col("rel_wave"))
+      .withColumn("wave", (col("rel_wave") + lit(waveOffset)).cast("int"))
       .drop("host_rank", "tokens", "rel_wave")
+    denied.where(col("state") =!= "ready")
+      .unionByName(scheduled).drop("crawl_delay_ms")
+  }
+
+  /** Error rows for plan-time terminal states (S2/S3 drops, dup,
+    * robots denials) of a planned frontier frame. */
+  private def planErrors(frontier: DataFrame): DataFrame = frontier
+    .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
+    .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
+      when(col("state") === "dropped_scheme", "skip this file(scheme)")
+        .when(col("state") === "dropped_ext", "skip this file")
+        .when(col("state") === "denied_robots", "robots.txt disallow")
+        .otherwise("duplicate url").as("err"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<double>").as("features"),
+      lit(false).as("render_match"))
+
+  def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
     // cache: the commit write AND the stats action both consume the plan
-    val frontier = denied.where(col("state") =!= "ready")
-      .unionByName(scheduled).drop("crawl_delay_ms").cache()
-    val initErrors = frontier
-      .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
-      .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
-        when(col("state") === "dropped_scheme", "skip this file(scheme)")
-          .when(col("state") === "dropped_ext", "skip this file")
-          .when(col("state") === "denied_robots", "robots.txt disallow")
-          .otherwise("duplicate url").as("err"),
-        lit(null).cast("string").as("text"),
-        lit(null).cast("array<double>").as("features"),
-        lit(false).as("render_match"))
+    val frontier = schedulePlan(initFrontier(seeds), 0).cache()
     // ONE stats action over the cached plan: seed count + the plan's
     // last wave, both recorded in the manifest so the wave driver never
     // re-aggregates the frontier (ensurePlan is zero Spark jobs)
@@ -300,10 +333,10 @@ final class CrawlWave(
       append = Map(
         "seen" -> emptySeen(spark),
         "samples" -> emptyOutcomes(spark).limit(0),
-        "errors" -> initErrors,
+        "errors" -> planErrors(frontier),
         "metrics" -> emptyMetrics(spark),
         "frontier_delta" -> emptyDelta(spark)),
-      metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0),
+      metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
         "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong)))
     frontier.unpersist()
     v
@@ -316,9 +349,15 @@ final class CrawlWave(
   private def ensurePlan(v: Int): Unit = {
     if (plan != null) return
     plan = store.read("frontier", v).cache()
-    planMaxWave = store.metricsOf(1).getOrElse("max_wave", -1L).toInt
+    val m = store.metricsOf(v)
+    // every commit carries max_wave + gen forward, so the LATEST
+    // manifest fully locates the cursor (v1 fallback covers stores
+    // written before discovery existed)
+    planMaxWave = m.getOrElse("max_wave",
+      store.metricsOf(1).getOrElse("max_wave", -1L)).toInt
+    generation = m.getOrElse("gen", 0L).toInt
     // the latest manifest's wave metric IS the cursor (init wrote -1)
-    nextWave = store.metricsOf(v).getOrElse("wave", -1L).toInt + 1
+    nextWave = m.getOrElse("wave", -1L).toInt + 1
   }
 
   private def cleanup(): Unit = {
@@ -344,8 +383,9 @@ final class CrawlWave(
     * mapPartitions whose cost is O(slice), not O(pages). */
   private def prefetchAll(): DataFrame = {
     if (prefetched == null) {
-      val dir = store.scratchPath("prefetch")
+      val dir = store.scratchPath(scratchName)
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))) {
+        val withLinks = cfg.discover // capture the flag, not the config
         plan
           .where(col("state") === "ready")
           .select("seq", "url", "host", "wave", "url_hash")
@@ -358,7 +398,7 @@ final class CrawlWave(
             col("f.url_hash").as("url_hash"),
             col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
             col("p.text_hash").as("text_hash"))
-          .as[FetchRow].map(CrawlWave.fetchOutcome _).toDF()
+          .as[FetchRow].map(r => CrawlWave.fetchOutcome(r, withLinks)).toDF()
           // text_len lets every small consumer (metrics, seen delta,
           // frontier delta) prune the text column away entirely — only
           // the samples write ever decodes text again
@@ -373,9 +413,61 @@ final class CrawlWave(
       // canonical column order (partitionBy moved `wave` to the end)
       prefetched = spark.read.parquet(dir)
         .select("seq", "url", "host", "wave", "ok", "err", "text",
-          "features", "render_match", "url_hash", "text_len")
+          "features", "render_match", "url_hash", "links", "text_len")
     }
     prefetched
+  }
+
+  /** Discovery: the CURRENT generation's extracted outlinks, minus URLs
+    * already in the frontier, re-planned as generation g+1 through the
+    * same robots+politeness path the seeds took. Returns true iff a new
+    * generation with at least one schedulable wave was planned (and the
+    * in-memory plan state swapped to it).
+    *
+    * Scale shape: one pass over the generation's prefetch scratch
+    * (links column only — parquet prunes the text bytes), a url
+    * anti-join against the frontier (both sides hash-shuffled by url —
+    * at the 10^10 design point both live url-bucketed, making this a
+    * co-located join), and a range-partitioned sort + zipWithIndex for
+    * the deterministic seq assignment — no driver-side URL sets and no
+    * partition-less windows at any frontier size. */
+  private def planNextGeneration(v: Int): Boolean = {
+    val discovered = prefetchAll()
+      .select(explode(col("links")).as("url"))
+      .distinct()
+      .join(plan.select("url"), Seq("url"), "left_anti")
+      .cache()
+    val nDiscovered = discovered.count()
+    if (nDiscovered == 0) { discovered.unpersist(); return false }
+    val baseSeq = plan.agg(max("seq")).head.getLong(0)
+    // deterministic, parallelism-invariant seq: discovered URLs are
+    // numbered baseSeq+1.. in global url order (sorted-range partitions
+    // + zipWithIndex, the distributed form of a global row_number)
+    val newSeeds = spark.createDataset(
+      discovered.sort("url").select("url").as[String].rdd
+        .zipWithIndex()
+        .map { case (u, i) => (baseSeq + 1 + i, u) })
+      .toDF("seq", "url")
+    val planned = schedulePlan(initFrontier(newSeeds), planMaxWave + 1).cache()
+    val st = planned.agg(max("wave")).head
+    val newMax = if (st.isNullAt(0)) planMaxWave
+      else math.max(planMaxWave, st.getInt(0))
+    val c = store.commit(
+      replace = Map("frontier" ->
+        store.read("frontier", v).unionByName(planned)),
+      append = Map("errors" -> planErrors(planned)),
+      metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
+        "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered),
+      expectedParent = Some(v))
+    discovered.unpersist(); planned.unpersist()
+    // swap the plan state to the new generation (its scratch dataset is
+    // written lazily by the first new wave's prefetchAll)
+    cleanup()
+    generation += 1
+    plan = store.read("frontier", c).cache()
+    planMaxWave = newMax
+    // nextWave is already old-planMaxWave + 1 — the first new wave
+    newMax >= nextWave
   }
 
   /** Run one planned wave; returns the committed version, or None when
@@ -385,7 +477,13 @@ final class CrawlWave(
     val v = store.latestVersion.getOrElse(
       throw new IllegalStateException("call init() first"))
     ensurePlan(v)
-    if (nextWave > planMaxWave) { awaitPending(); cleanup(); return None }
+    if (nextWave > planMaxWave) {
+      awaitPending()
+      if (cfg.discover && generation < cfg.maxGenerations &&
+          planNextGeneration(store.latestVersion.getOrElse(v)))
+        return step()
+      cleanup(); return None
+    }
     val wave = nextWave
     // the wave's prefetched fetch+extract results (columnar cache slice
     // — batch stats prune other waves' batches; no pages scan here)
@@ -454,11 +552,11 @@ final class CrawlWave(
     // falls back to materialized delta writes.
     val outcomeCols = Seq("seq", "url", "host", "wave", "ok", "err",
       "text", "features", "render_match")
-    val waveDirRel = s"scratch/prefetch/wave=$wave"
+    val waveDirRel = s"scratch/$scratchName/wave=$wave"
     val refCommit = nExcluded == 0 &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store.rootPath, waveDirRel))
-    val samplesNew = kept(slice).drop("url_hash", "text_len").where(col("ok"))
-    val errorsNew = kept(slice).drop("url_hash", "text_len").where(!col("ok"))
+    val samplesNew = kept(slice).drop("url_hash", "links", "text_len").where(col("ok"))
+    val errorsNew = kept(slice).drop("url_hash", "links", "text_len").where(!col("ok"))
 
     // 5. frontier DELTA: wave slice × excluded only — the full frontier
     // is never rescanned or rewritten per wave
@@ -556,16 +654,17 @@ final class CrawlWave(
       val refs =
         if (refCommit) Map(
           "samples" -> graft.store.SnapshotTable.ViewRef(
-            "scratch/prefetch", Seq(waveDirRel), "ok", outcomeCols),
+            s"scratch/$scratchName", Seq(waveDirRel), "ok", outcomeCols),
           "errors" -> graft.store.SnapshotTable.ViewRef(
-            "scratch/prefetch", Seq(waveDirRel), "NOT ok", outcomeCols))
+            s"scratch/$scratchName", Seq(waveDirRel), "NOT ok", outcomeCols))
         else Map.empty[String, graft.store.SnapshotTable.ViewRef]
       val c = store.commit(
         replace = replaceTables,
         append = appendDf,
         appendRef = refs,
         metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
-          "errors" -> nErr, "render_mismatches" -> nMismatch),
+          "errors" -> nErr, "render_mismatches" -> nMismatch,
+          "max_wave" -> planMaxWave.toLong, "gen" -> generation.toLong),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
       blobState = mergedBlobs

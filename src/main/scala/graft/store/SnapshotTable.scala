@@ -122,19 +122,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else prior
         name -> dirs
       }.toMap
-    // metadata-only appends: merge each ViewRef's dirs into the parent's
-    // view for that table (same base/where/select required — a view is
-    // ONE projection rule over a growing dir list)
-    val parentViews: Map[String, ViewRef] =
-      parent.map(viewsOf).getOrElse(Map.empty)
-    val views: Map[String, ViewRef] = parentViews ++ appendRef.map { case (name, vr) =>
-      parentViews.get(name) match {
-        case Some(p) =>
-          require(p.base == vr.base && p.where == vr.where && p.select == vr.select,
-            s"view shape changed for table $name")
-          name -> p.copy(dirs = p.dirs ++ vr.dirs)
-        case None => name -> vr
-      }
+    // metadata-only appends: each table carries a LIST of view groups
+    // (one per distinct base/where/select projection rule — e.g. one per
+    // crawl generation's prefetch scratch); a ref matching an existing
+    // group's shape extends its dir list, a new shape appends a group.
+    // Replacing a table drops its views (the replace IS the full data).
+    val parentViews: Map[String, Seq[ViewRef]] =
+      parent.map(viewsOf).getOrElse(Map.empty) -- replace.keySet
+    val views: Map[String, Seq[ViewRef]] = parentViews ++ appendRef.map { case (name, vr) =>
+      val groups = parentViews.getOrElse(name, Nil)
+      val i = groups.indexWhere(p =>
+        p.base == vr.base && p.where == vr.where && p.select == vr.select)
+      if (i < 0) name -> (groups :+ vr)
+      else name -> groups.updated(i, groups(i).copy(dirs = groups(i).dirs ++ vr.dirs))
     }
     // schemas carried forward so empty-dirs tables stay readable
     val schemas: Map[String, String] =
@@ -148,19 +148,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     v
   }
 
-  /** The metadata-only views of `version` (empty for pre-view
-    * manifests). */
-  def viewsOf(version: Int): Map[String, ViewRef] = {
+  /** The metadata-only view groups of `version` (empty for pre-view
+    * manifests; a single-object legacy entry reads as a 1-group list). */
+  def viewsOf(version: Int): Map[String, Seq[ViewRef]] = {
     val node = mapper.readTree(Files.readString(manifestPath(version)))
     val vn = node.get("views")
+    def one(o: com.fasterxml.jackson.databind.JsonNode) = ViewRef(
+      o.get("base").asText(),
+      o.get("dirs").elements().asScala.map(_.asText()).toSeq,
+      o.get("where").asText(),
+      o.get("select").elements().asScala.map(_.asText()).toSeq)
     if (vn == null) Map.empty
     else vn.properties().asScala.map { e =>
-      val o = e.getValue
-      e.getKey -> ViewRef(
-        o.get("base").asText(),
-        o.get("dirs").elements().asScala.map(_.asText()).toSeq,
-        o.get("where").asText(),
-        o.get("select").elements().asScala.map(_.asText()).toSeq)
+      val v = e.getValue
+      e.getKey -> (if (v.isArray) v.elements().asScala.map(one).toSeq else Seq(one(v)))
     }.toMap
   }
 
@@ -185,17 +186,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def read(table: String, version: Int): DataFrame = {
     val dirs = tableDirs(version).getOrElse(table,
       throw new NoSuchElementException(s"table $table not in snapshot v$version"))
-    val view = viewsOf(version).get(table)
+    val groups = viewsOf(version).getOrElse(table, Nil)
     val dirFrame =
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*))
-    val viewFrame = view.map { vr =>
+    val viewFrame = groups.map { vr =>
       spark.read
         .option("basePath", Paths.get(root, vr.base).toString)
         .parquet(vr.dirs.map(d => Paths.get(root, d).toString): _*)
         .where(vr.where)
         .selectExpr(vr.select: _*)
-    }
+    }.reduceOption(_ unionByName _)
     (dirFrame, viewFrame) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
@@ -237,7 +238,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
       counts: Map[String, Long], metrics: Map[String, Long],
-      schemas: Map[String, String], views: Map[String, ViewRef]): String = {
+      schemas: Map[String, String], views: Map[String, Seq[ViewRef]]): String = {
     def obj(m: Map[String, Long]) =
       m.toSeq.sortBy(_._1).map { case (k, x) => s""""$k": $x""" }.mkString("{", ", ", "}")
     def strs(xs: Seq[String]) =
@@ -248,8 +249,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val sch = schemas.toSeq.sortBy(_._1).map { case (k, ddl) =>
       s""""$k": ${mapper.writeValueAsString(ddl)}"""
     }.mkString("{", ", ", "}")
-    val vws = views.toSeq.sortBy(_._1).map { case (k, vr) =>
-      s""""$k": {"base": ${mapper.writeValueAsString(vr.base.replace("\\", "/"))}, "dirs": ${strs(vr.dirs)}, "where": ${mapper.writeValueAsString(vr.where)}, "select": ${strs(vr.select)}}"""
+    def grp(vr: ViewRef) =
+      s"""{"base": ${mapper.writeValueAsString(vr.base.replace("\\", "/"))}, "dirs": ${strs(vr.dirs)}, "where": ${mapper.writeValueAsString(vr.where)}, "select": ${strs(vr.select)}}"""
+    val vws = views.toSeq.sortBy(_._1).map { case (k, grs) =>
+      s""""$k": ${grs.map(grp).mkString("[", ", ", "]")}"""
     }.mkString("{", ", ", "}")
     s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}, "schemas": $sch, "views": $vws}"""
   }

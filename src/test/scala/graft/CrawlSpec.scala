@@ -185,4 +185,128 @@ class CrawlSpec extends AnyFunSuite {
     assert(key(st) == key(store))
     assert(st.readLatest("seen").get.count() == store.readLatest("seen").get.count())
   }
+
+  // ------------------------------------------------- frontier growth
+
+  import graft.fixtures.NetSynth
+  import graft.urls.Canonicalize
+
+  private def runDiscoverCrawl(pagesDf: org.apache.spark.sql.DataFrame,
+      maxGenerations: Int = 3): SnapshotTable = {
+    val root = Files.createTempDirectory("crawl-disc-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = pagesDf.cache()
+    new CrawlWave(spark, pages, st,
+      cfg(4).copy(discover = true, maxGenerations = maxGenerations))
+      .runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    st
+  }
+
+  private lazy val discStore = runDiscoverCrawl(Fixtures.pages(spark, dir).toDF)
+
+  /** Independent replica of the md5-portable outlink rules — computed
+    * from NetSynth.link* directly, NOT through the body builder or
+    * TagScanner (the engine's actual extraction path). */
+  private lazy val expectedDiscovered: Vector[String] = {
+    import spark.implicits._
+    val seedUrls = Fixtures.seeds(spark, dir)
+      .select("url").distinct().as[String].collect().toSet
+    val pageUrls = Fixtures.seeds(spark, dir)
+      .where(expr(graft.jobs.Synth.fetchableWhere))
+      .select("url").distinct().as[String].collect()
+      .filterNot(NetSynth.isFetchMiss)
+      // robots-denied seeds are never fetched → their outlinks never
+      // discovered (same rule as NetSynth's synthesized robots.txt)
+      .filterNot { u =>
+        val host = Canonicalize.crawlerDomain(u)
+        val p = u.indexOf("/p/")
+        host.length % 3 == 0 && p >= 0 && p + 3 < u.length && u.charAt(p + 3) == '3'
+      }
+    pageUrls.flatMap { u =>
+      val domain = Canonicalize.crawlerDomain(u)
+      (0 until (2 + NetSynth.linkCount(u))).flatMap { i =>
+        NetSynth.linkKind(u, i) match {
+          case 0 => Some(s"http://$domain/page$i.html")
+          case 1 => Some(s"http://ext${NetSynth.linkExt(u, i)}.example.org/x$i")
+          case _ => None
+        }
+      }
+    }.distinct.filterNot(seedUrls).sorted.toVector
+  }
+
+  test("discovery: generation 1 contains exactly the new outlinks, seq in url order") {
+    import spark.implicits._
+    val maxSeed = Fixtures.seeds(spark, dir).agg(max("seq")).head.getLong(0)
+    val gen1 = discStore.readLatest("frontier").get
+      .where(col("seq") > maxSeed)
+      .select("seq", "url", "state", "wave")
+      .as[(Long, String, String, Int)].collect().sortBy(_._1)
+    assert(gen1.nonEmpty)
+    assert(gen1.map(_._2).toVector == expectedDiscovered) // set + order
+    assert(gen1.map(_._1).toVector == // consecutive seqs from maxSeed+1
+      (maxSeed + 1 to maxSeed + gen1.length).toVector)
+    // none of the discovered URLs exists in the pages table → all error
+    assert(gen1.forall(_._3 == "error"))
+    // all scheduled strictly after the seed generation's waves
+    val maxSeedWave = discStore.readLatest("frontier").get
+      .where(col("seq") <= maxSeed).agg(max("wave")).head.getInt(0)
+    assert(gen1.forall(_._4 > maxSeedWave))
+    // the error channel carries their fetch misses
+    val errUrls = discStore.readLatest("errors").get
+      .where(col("seq") > maxSeed).select("url").as[String].collect().toSet
+    assert(errUrls == expectedDiscovered.toSet)
+  }
+
+  test("discovery: seen set grows by the discovered URLs; gen-2 finds nothing new") {
+    // every discovered URL was attempted → entered the seen set
+    assert(discStore.readLatest("seen").get.count() ==
+      store.readLatest("seen").get.count() + expectedDiscovered.length)
+    // discovered pages are all fetch misses → no gen-2 plan was committed
+    assert(discStore.metricsOf(discStore.latestVersion.get)
+      .getOrElse("gen", -1L) == 1L)
+  }
+
+  test("discovery: resume mid-generation-1 converges to the identical final state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-disc-resume-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val c = cfg(4).copy(discover = true, maxGenerations = 3)
+    // run the seed generation + a few waves of generation 1, then "crash"
+    val cw1 = new CrawlWave(spark, pages, st, c)
+    cw1.init(Fixtures.seeds(spark, dir))
+    var steps = 0
+    val seedMaxWave = st.metricsOf(1).getOrElse("max_wave", -1L).toInt
+    while (steps < seedMaxWave + 1 + 2 && cw1.step().isDefined) steps += 1
+    // a FRESH engine over the same store finishes the crawl
+    new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "url", "state", "wave")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(key(st) == key(discStore))
+    assert(st.readLatest("samples").get.count() ==
+      discStore.readLatest("samples").get.count())
+  }
+
+  test("discovery: fetchable outlinks crawl as generation 1 with byte identity; gen 2 runs") {
+    import spark.implicits._
+    // a pages table that ALSO contains the discovered URLs' pages, so
+    // generation 1 has real fetch hits and generation 2 gets planned
+    // from generation-1 bodies
+    val gen1Pages = spark.createDataset(expectedDiscovered)
+      .flatMap(u => Fixtures.pageFor(u)).toDF
+    val st = runDiscoverCrawl(Fixtures.pages(spark, dir).toDF.unionByName(gen1Pages))
+    val maxSeed = Fixtures.seeds(spark, dir).agg(max("seq")).head.getLong(0)
+    val gen1 = st.readLatest("frontier").get.where(col("seq") > maxSeed).cache()
+    // discovered URLs absent from pageFor (fetch-miss rule) still error;
+    // the rest were fetched — some alive (done), byte-identical
+    val done = gen1.where(col("state") === "done").count()
+    assert(done > 0)
+    assert(st.readLatest("samples").get.where(!col("render_match")).count() == 0)
+    // generation-1 bodies discovered fresh URLs → a generation 2 exists
+    assert(st.metricsOf(st.latestVersion.get).getOrElse("gen", -1L) >= 2L)
+    gen1.unpersist()
+  }
 }
