@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * first becomes eligible.
   *
   * The shuffle here is BY HOST — the skew-prone key. Hot hosts are rare
-  * but huge in Common-Crawl frontiers; the window itself is safe (rank
-  * per host is a sort within the host's partition — AQE skew handling
-  * splits oversized partitions for the sort), and the downstream
-  * fetch/extract work is re-spread by [[Skew.salt]].
+  * but huge in Common-Crawl frontiers, and a window partition is ONE
+  * task's sort (AQE splits skewed joins, not window partitions) — so
+  * the plan-time rank has a two-phase distributed form
+  * ([[withTwoPhaseHostRank]], `twoPhaseRank = true`) for frontiers
+  * where a single host's rows exceed one task. The downstream
+  * fetch/extract work is re-spread by [[Skew.salt]] either way.
   */
 object Politeness {
 
@@ -40,7 +42,7 @@ object Politeness {
     * `(host, crawl_delay_ms)` table broadcast-joined here, else the
     * deterministic formula. */
   def schedule(ready: DataFrame, wavePeriodMs: Long,
-      delays: Option[DataFrame] = None): DataFrame = {
+      delays: Option[DataFrame] = None, twoPhaseRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy("host").orderBy(col("priority").asc, col("seq").asc)
     val withDelay =
       if (ready.columns.contains("crawl_delay_ms"))
@@ -52,11 +54,67 @@ object Politeness {
             .drop("crawl_delay_ms")
         case None => ready.withColumn("delay_ms", delayMsCol)
       }
-    withDelay
-      .withColumn("host_rank", row_number().over(w))
+    val ranked =
+      if (twoPhaseRank) withTwoPhaseHostRank(withDelay)
+      else withDelay.withColumn("host_rank", row_number().over(w))
+    ranked
       .withColumn("tokens", greatest(lit(1L), floor(lit(wavePeriodMs) / col("delay_ms")).cast("long")))
       .withColumn("rel_wave", floor((col("host_rank") - 1) / col("tokens")).cast("int"))
       .drop("delay_ms")
+  }
+
+  /** Distributed per-host rank without a per-host window partition —
+    * the hot-host-safe form of `row_number() OVER (PARTITION BY host
+    * ORDER BY priority, seq)` for Common-Crawl frontiers where one host
+    * can hold 10^8+ rows (a window partition is ONE task's sort; AQE
+    * splits skewed joins, not window partitions).
+    *
+    * Two phases keyed by a DETERMINISTIC seq chunk (contiguous ranges of
+    * the global seq space, `chunk = (seq - min) DIV w` with w sized so
+    * there are ~16 chunks per core — a pure column expression, no
+    * RangePartitioner sampling, so re-evaluations of the un-cached plan
+    * agree exactly; a sampled range partitioning here silently dropped
+    * rows when Catalyst evaluated the two branches independently):
+    *   1. rank locally per (host, priority, chunk) — every window group
+    *      is ≤ w rows by construction (seq is unique), however hot the
+    *      host;
+    *   2. per-(host, priority, chunk) counts (partial-agg'd map-side)
+    *      turn into per-host cumulative offsets via a window over the
+    *      COUNTS table in (priority, chunk) order — group size = chunks
+    *      a host spans, never its row count. Chunk keys are monotone in
+    *      the (priority, seq) sort order, so local rank + offset = the
+    *      exact global rank.
+    *
+    * All three stages shuffle by the SAME key (host, priority, chunk),
+    * so Catalyst plans one exchange feeding rank, counts and the
+    * join-back. The result equals the single-window rank exactly, for
+    * any parallelism (property-tested in CrawlSpec). Cost vs the plain
+    * window: one tiny min/max action — paid only at the design point
+    * where the window is a straggler;
+    * [[graft.jobs.CrawlWave.Config.scalableRank]] selects it. */
+  def withTwoPhaseHostRank(rows: DataFrame, chunksHint: Int = 0): DataFrame = {
+    val spark = rows.sparkSession
+    val bounds = rows.agg(min("seq"), max("seq")).head
+    if (bounds.isNullAt(0)) // empty frame: rank column only, no rows
+      return rows.withColumn("host_rank", lit(1))
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val nChunks = if (chunksHint > 0) chunksHint
+      else spark.sparkContext.defaultParallelism * 16
+    val w = math.max(1L, (hi - lo) / nChunks + 1)
+    val withChunk = rows.withColumn("__chunk",
+      expr(s"CAST((seq - ${lo}L) DIV ${w}L AS BIGINT)"))
+    val wLocal = Window.partitionBy("host", "priority", "__chunk")
+      .orderBy(col("seq").asc)
+    val wCum = Window.partitionBy("host")
+      .orderBy(col("priority").asc, col("__chunk").asc)
+    val offsets = withChunk.groupBy("host", "priority", "__chunk")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum(col("__cnt")).over(wCum) - col("__cnt"))
+      .drop("__cnt")
+    withChunk.withColumn("__lr", row_number().over(wLocal))
+      .join(offsets, Seq("host", "priority", "__chunk"))
+      .withColumn("host_rank", (col("__lr") + col("__off")).cast("int"))
+      .drop("__chunk", "__lr", "__off")
   }
 
   /** The rows allowed to fetch this wave (relative wave 0). */

@@ -47,8 +47,9 @@ import org.apache.spark.sql.functions._
   * size — partitions scale out, blob size stays broadcastable) and the
   * per-wave counters. Robots rules live in a DISTRIBUTED per-host table
   * joined at plan time (AQE broadcasts it while small; no driver
-  * collect at any host cardinality). Politeness windows shuffle by host
-  * (AQE splits skewed sort partitions); the fetch join carries only the
+  * collect at any host cardinality). Politeness ranks shuffle by host
+  * (two-phase distributed rank under `scalableRank` — no single-task
+  * hot-host sort); the fetch join carries only the
   * wave's eligible slice, never the whole frontier, and holds no
   * O(pages) driver state.
   */
@@ -84,7 +85,15 @@ object CrawlWave {
       discover: Boolean = false,
       // generation cap (seed plan = generation 0) — the crawl also stops
       // on its own when a generation discovers nothing new
-      maxGenerations: Int = 8)
+      maxGenerations: Int = 8,
+      // plan-time per-host rank: the window form (one shuffle, but a hot
+      // host is ONE task's sort) vs the two-phase distributed form
+      // (Politeness.withTwoPhaseHostRank — range + join-back shuffles,
+      // every task bounded). Identical output (PolitenessSpec property).
+      // True at the 10^10 design point, where a single Common-Crawl
+      // host can exceed a task; false for small frontiers, where the
+      // extra plan-time jobs cost more than the skew they prevent.
+      scalableRank: Boolean = false)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
@@ -301,7 +310,8 @@ final class CrawlWave(
           .drop("robots_txt")
       }
     val scheduled = Politeness
-      .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs)
+      .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs,
+        twoPhaseRank = cfg.scalableRank)
       .withColumn("wave", (col("rel_wave") + lit(waveOffset)).cast("int"))
       .drop("host_rank", "tokens", "rel_wave")
     denied.where(col("state") =!= "ready")

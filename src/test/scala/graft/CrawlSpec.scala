@@ -186,6 +186,44 @@ class CrawlSpec extends AnyFunSuite {
     assert(st.readLatest("seen").get.count() == store.readLatest("seen").get.count())
   }
 
+  // ------------------------------------------------- two-phase host rank
+
+  test("two-phase host rank equals the window rank on a skewed frontier, any parallelism") {
+    import spark.implicits._
+    // one hot host (70% of rows) + a long tail, shuffled seq/priority
+    val rows = (1L to 4000L).map { seq =>
+      val host =
+        if (seq % 10 < 7) "hot.example.com"
+        else s"tail${(seq * 2654435761L) % 97}.example.com"
+      (seq, host, (seq * 48271 % 5).toInt)
+    }
+    val df = spark.createDataset(rows).toDF("seq", "host", "priority")
+      .withColumn("delay_ms", lit(100L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").asc, col("seq").asc)
+    val expected = df.withColumn("host_rank", row_number().over(w))
+      .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Politeness.withTwoPhaseHostRank(df.repartition(parts))
+        .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+      assert(got == expected, s"two-phase rank diverged at $parts partitions")
+    }
+  }
+
+  test("scalableRank crawl produces the identical frontier") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-2p-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    new CrawlWave(spark, pages, st, cfg(4).copy(scalableRank = true))
+      .runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "url", "state", "wave")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+  }
+
   // ------------------------------------------------- frontier growth
 
   import graft.fixtures.NetSynth
