@@ -204,22 +204,32 @@ object Bench {
         }
         def better(a: (Long, Double), b: (Long, Double)): (Long, Double) =
           if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
+        def j(d: Double): String = if (d.isNaN) "null" else d.toString
+        def scalingJson(uN: Long, tN: Double, u4: Long, t4: Double,
+            runs: Int, u32: Long, t32: Double): String =
+          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j((tN / t4) / 4.0)},"local32_sec":${j(t32)},"local32_urls_per_sec":${j(u32 / t32)}}"""
 
-        // interleaved N,4N[,N,4N]: host-noise drift hits both levels of a
-        // pair equally; repeats and the 32 point only under budget
+        // interleaved N,4N[,N,4N] with per-level best: host-noise drift
+        // hits both levels of a pair equally. A cumulative result line
+        // prints after EACH pair — wherever an external kill lands, the
+        // last parseable line carries the best evidence so far. Repeats
+        // (which tighten the gate metric) outrank the 32-core point
+        // (curve garnish) under budget pressure.
         var (uN, tN) = runAt(n)
         var (u4, t4) = runAt(4 * n)
-        val lastCost = if (t4.isNaN) 240.0 else (tN + t4) * 1.25 + 40
-        if (remaining > lastCost + 60) {
+        var runs = 1
+        println(line(scalingJson(uN, tN, u4, t4, runs, 0L, Double.NaN)))
+        val pairCost = if (t4.isNaN) 240.0 else (tN + t4) * 1.25 + 80
+        if (remaining > pairCost + 40) {
           val r2 = better((uN, tN), runAt(n)); uN = r2._1; tN = r2._2
           val r3 = better((u4, t4), runAt(4 * n)); u4 = r3._1; t4 = r3._2
+          runs = 2
+          println(line(scalingJson(uN, tN, u4, t4, runs, 0L, Double.NaN)))
         }
         val (u32, t32) =
-          if (remaining > (if (t4.isNaN) 180.0 else t4 * 1.5 + 40)) runAt(32)
+          if (remaining > (if (t4.isNaN) 180.0 else t4 * 1.5 + 60)) runAt(32)
           else (0L, Double.NaN)
-        val eff = (tN / t4) / 4.0
-        def j(d: Double): String = if (d.isNaN) "null" else d.toString
-        s""","scaling":{"rep":$rep,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(eff)},"local32_sec":${j(t32)},"local32_urls_per_sec":${j(u32 / t32)}}"""
+        scalingJson(uN, tN, u4, t4, runs, u32, t32)
       } else { spark.stop(); "" }
 
     // 5. the final, complete line (driver-parsed; supersedes insurance)
