@@ -594,6 +594,31 @@ object SparkEntry {
            |SELECT count(*) AS n_checked, cast(0 as bigint) AS n_mismatch
            |FROM u WHERE NOT ${NetSynth.fetchMissSql("url")}""".stripMargin)))),
 
+    // S8 FTP fetch (spider.py:103-161): every distinct ftp: seed URL
+    // (image extensions included — the ext skip lives in the reference's
+    // http branch) through the ENGINE's dispatch (CrawlWave.fetchOutcome
+    // FTP branch: utf-8/replace decode, no liveness, NSLOOKUP/HOST/WHOIS
+    // + content + TIMER render) checked byte-identical against the
+    // golden FTP text; counts are SQL-derivable like `byte_identity`.
+    "s8_ftp_fetch" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Fixtures.pages(s, dir, includeFtp = true)
+          .filter((p: graft.model.PageRow) => p.url.startsWith("ftp:"))
+          .map { p =>
+            val out = CrawlWave.fetchOutcome(CrawlWave.FetchRow(
+              0L, p.url, Canonicalize.crawlerDomain(p.url), 0, 0L,
+              Some(p.warc_ts), Some(p.html),
+              Some(CrawlWave.hashText(p.text))))
+            (1L, if (out.ok && out.render_match) 0L else 1L)
+          }.toDF("checked", "mismatch")
+          .agg(sum("checked").as("n_checked"), sum("mismatch").as("n_mismatch"))
+      },
+      Some(Synth.duck(withSeeds(
+        s"""ftpu AS (SELECT DISTINCT url FROM seeds WHERE ${Synth.ftpWhere})
+           |SELECT count(*) AS n_checked, cast(0 as bigint) AS n_mismatch
+           |FROM ftpu WHERE NOT ${NetSynth.fetchMissSql("url")}""".stripMargin)))),
+
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
     "tok_terms" -> split2(
       """SELECT DISTINCT doc_id, term FROM (

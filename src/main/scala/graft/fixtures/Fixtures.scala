@@ -24,16 +24,23 @@ object Fixtures {
 
   val baseEpochSeconds: Long = 1577836800L // 2020-01-01T00:00:00Z, fixed
 
-  /** Build one page row, or None for fetch-miss / non-fetchable URLs. */
+  /** Build one page row, or None for fetch-miss / non-fetchable URLs.
+    * `ftp:` URLs (S8) carry the FTP-rendered golden text
+    * ([[SampleRender.renderFtp]]) and skip the liveness screen — the
+    * reference's FTP path writes content unconditionally
+    * (`spider.py:113-161`, no response object to test). */
   def pageFor(url: String): Option[PageRow] = {
     if (NetSynth.isFetchMiss(url)) return None
     val s = NetSynth.forUrl(url)
     val h = NetSynth.urlSeed(url)
     val warcEpoch = baseEpochSeconds + java.lang.Math.floorMod(h, 100000L)
-    val verdict = Liveness.isAlive(Some(s.contentType), s.content, s.status)
     val text =
-      if (verdict.alive) SampleRender.render(url, s.content, s.net)
-      else null
+      if (url.startsWith("ftp:")) SampleRender.renderFtp(url, s.content, s.net)
+      else {
+        val verdict = Liveness.isAlive(Some(s.contentType), s.content, s.status)
+        if (verdict.alive) SampleRender.render(url, s.content, s.net)
+        else null
+      }
     Some(PageRow(url,
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(warcEpoch)),
       s.content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -42,11 +49,16 @@ object Fixtures {
 
   /** The pages table for one sf dir: distinct fetchable seed URLs →
     * page rows (minus fetch misses). `rep` > 1 scales the population
-    * for benchmarks ([[Synth.seeds]]). */
-  def pages(spark: SparkSession, sfDir: String, rep: Int = 1): Dataset[PageRow] = {
+    * for benchmarks ([[Synth.seeds]]); `includeFtp` adds the `ftp:`
+    * URLs for S8 crawls (default off — Common-Crawl-style input). */
+  def pages(spark: SparkSession, sfDir: String, rep: Int = 1,
+      includeFtp: Boolean = false): Dataset[PageRow] = {
     import spark.implicits._
+    val where =
+      if (includeFtp) s"(${Synth.fetchableWhere}) OR ${Synth.ftpWhere}"
+      else Synth.fetchableWhere
     Synth.seeds(spark, sfDir, rep)
-      .where(expr(Synth.fetchableWhere))
+      .where(expr(where))
       .select("url").distinct()
       .as[String]
       .flatMap(pageFor _)

@@ -93,7 +93,14 @@ object CrawlWave {
       // True at the 10^10 design point, where a single Common-Crawl
       // host can exceed a task; false for small frontiers, where the
       // extra plan-time jobs cost more than the skew they prevent.
-      scalableRank: Boolean = false)
+      scalableRank: Boolean = false,
+      // S8: fetch `ftp:` URLs through the FTP path (`spider.py:103-161`
+      // DownloadFTPFile — NSLOOKUP/HOST/WHOIS + raw content + TIMER, no
+      // HEADER/CYCLING blocks, no liveness screen, and the image-ext
+      // skip does NOT apply: it lives inside the reference's http branch,
+      // spider.py:526-535). Off by default: the design-point input is a
+      // Common-Crawl-style pages table, which carries no ftp rows.
+      fetchFtp: Boolean = false)
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
@@ -135,9 +142,20 @@ object CrawlWave {
     * first-seen dedup (min seq wins, carrying that row's priority),
     * xxhash64 url identity. Priority 0 = most urgent; absent column →
     * all 0 (the reference's flat seed-order semantics). */
-  def initFrontier(seeds: DataFrame): DataFrame = {
+  def initFrontier(seeds: DataFrame): DataFrame = initFrontier(seeds, fetchFtp = false)
+
+  def initFrontier(seeds: DataFrame, fetchFtp: Boolean): DataFrame = {
     val imageExts = Seq(".ico", ".jpg", ".png", ".pdf", ".bmp", ".tiff")
     val extCond = imageExts.map(e => lower(col("url")).endsWith(e)).reduce(_ || _)
+    // S2 dispatch: http* → HTTP; ftp: → FTP when enabled (S8); else drop.
+    // The image-extension skip (S3) applies ONLY to http URLs — it lives
+    // inside the reference's http branch (spider.py:526-535), so
+    // `ftp://…/x.jpg` IS fetched (quirk preserved).
+    val schemeOk =
+      if (fetchFtp) col("url").startsWith("http") || col("url").startsWith("ftp:")
+      else col("url").startsWith("http")
+    val extSkip =
+      if (fetchFtp) extCond && !col("url").startsWith("ftp:") else extCond
     val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("url")
       .orderBy(col("seq").asc)
     val withPriority =
@@ -145,8 +163,8 @@ object CrawlWave {
       else seeds.withColumn("priority", lit(0))
     withPriority
       .withColumn("state",
-        when(!col("url").startsWith("http"), lit("dropped_scheme"))
-          .when(extCond, lit("dropped_ext"))
+        when(!schemeOk, lit("dropped_scheme"))
+          .when(extSkip, lit("dropped_ext"))
           .otherwise(lit("ready")))
       .withColumn("rk", row_number().over(firstSeen))
       .withColumn("state", when(col("state") === "ready" && col("rk") > 1, lit("dup")).otherwise(col("state")))
@@ -195,6 +213,22 @@ object CrawlWave {
       // requests-exception analogue (spider.py:208-244, S7)
       OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, "fetch failed (no response)",
         null, null, render_match = false, r.url_hash, Nil)
+    case Some(bytes) if r.url.startsWith("ftp:") =>
+      // S8 FTP path (spider.py:113-161): content decoded utf-8 with
+      // replacement (`r.decode('utf-8', errors='replace')`, :158 — no
+      // meta-charset sniff, no ladder), NO liveness screen (the
+      // reference writes FTP content unconditionally), NSLOOKUP/HOST/
+      // WHOIS + content + TIMER render. No link discovery: the
+      // reference extracts hrefs only from the HTTP flow's html.
+      val content = CharsetDecode.decodeUtf8Replace(bytes)
+      val synth = NetSynth.forUrlNoBody(r.url, content.length)
+      val text = SampleRender.renderFtp(r.url, content, synth.net)
+      val asOf = r.warc_ts.map(_.toInstant.getEpochSecond)
+        .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
+      val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
+      OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
+        features.toSeq, render_match = r.text_hash.contains(hashText(text)),
+        r.url_hash, Nil)
     case Some(bytes) =>
       // sandbox S5: per-row deterministic net info. The page BODY is
       // decoded from the fetched bytes — forUrlNoBody skips the
@@ -333,7 +367,7 @@ final class CrawlWave(
 
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
     // cache: the commit write AND the stats action both consume the plan
-    val frontier = schedulePlan(initFrontier(seeds), 0).cache()
+    val frontier = schedulePlan(initFrontier(seeds, cfg.fetchFtp), 0).cache()
     // ONE stats action over the cached plan: seed count + the plan's
     // last wave, both recorded in the manifest so the wave driver never
     // re-aggregates the frontier (ensurePlan is zero Spark jobs)
@@ -458,7 +492,7 @@ final class CrawlWave(
         .zipWithIndex()
         .map { case (u, i) => (baseSeq + 1 + i, u) })
       .toDF("seq", "url")
-    val planned = schedulePlan(initFrontier(newSeeds), planMaxWave + 1).cache()
+    val planned = schedulePlan(initFrontier(newSeeds, cfg.fetchFtp), planMaxWave + 1).cache()
     val st = planned.agg(max("wave")).head
     val newMax = if (st.isNullAt(0)) planMaxWave
       else math.max(planMaxWave, st.getInt(0))

@@ -54,6 +54,11 @@ object Synth {
       |  cast(o_orderkey % 3 as int) AS priority
       |FROM orders""".stripMargin
 
+  /** `ftp:` rows (S8, spider.py:535 → DownloadFTPFile): shared-dialect
+    * WHERE over `seeds`. The image-extension skip does NOT apply to ftp
+    * (it lives inside the reference's http branch). */
+  val ftpWhere: String = "(url LIKE 'ftp:%')"
+
   /** Scheme dispatch + image-extension skip (spider.py:526-536, S2+S3):
     * shared-dialect WHERE over `seeds`. */
   val fetchableWhere: String =

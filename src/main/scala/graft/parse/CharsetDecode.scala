@@ -55,6 +55,14 @@ object CharsetDecode {
       .getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
   }
 
+  /** Plain `utf-8` decode with replacement — the FTP path's
+    * `r.decode('utf-8', errors='replace')` (`spider.py:158`), with NO
+    * meta-charset sniffing and NO fallback ladder (the reference FTP
+    * code never consults headers or `<meta>` tags). */
+  def decodeUtf8Replace(bytes: Array[Byte]): String =
+    tryDecode(bytes, java.nio.charset.StandardCharsets.UTF_8, CodingErrorAction.REPLACE)
+      .getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+
   /** Charset parameter of a Content-Type header value, if any. */
   def headerCharset(contentType: String): Option[String] = {
     val i = contentType.toLowerCase.indexOf("charset=")

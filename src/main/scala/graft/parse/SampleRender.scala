@@ -123,4 +123,22 @@ object SampleRender {
     sb ++= timerBlock(net.timerSeconds)
     sb.result()
   }
+
+  /** Sample-document render for one `ftp:` URL, mirroring
+    * `DownloadFTPFile.run` + `write_content_to_file`
+    * (`spider.py:113-161`): url line, NSLOOKUP/HOST/WHOIS, then the
+    * raw file content between the HTTP sentinels and the TIMER block —
+    * no CYCLING warning, no HEADER blocks, no liveness screen (the
+    * reference writes FTP content unconditionally; there is no
+    * response object to test). */
+  def renderFtp(url: String, content: String, net: NetInfo): String = {
+    val sb = new StringBuilder
+    sb ++= url + "\n"
+    sb ++= nslookupBlock(net.nslookupSoaOut, net.nslookupOut)
+    sb ++= hostBlock(net.hostOut)
+    sb ++= whoisBlock(net.whoisOut)
+    sb ++= contentBlock(content)
+    sb ++= timerBlock(net.timerSeconds)
+    sb.result()
+  }
 }

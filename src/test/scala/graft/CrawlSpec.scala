@@ -347,4 +347,51 @@ class CrawlSpec extends AnyFunSuite {
     assert(st.metricsOf(st.latestVersion.get).getOrElse("gen", -1L) >= 2L)
     gen1.unpersist()
   }
+
+  // ---- S8: FTP fetch (cfg.fetchFtp, spider.py:103-161) ----------------
+
+  private lazy val ftpStore: SnapshotTable = {
+    val root = Files.createTempDirectory("crawl-ftp-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir, includeFtp = true).toDF.cache()
+    new CrawlWave(spark, pages, st, cfg(4).copy(fetchFtp = true))
+      .runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    st
+  }
+
+  test("S8: ftp URLs fetch when fetchFtp is on; byte-identical FTP render; ext skip is http-only") {
+    val f = ftpStore.readLatest("frontier").get.where(col("url").startsWith("ftp:")).cache()
+    assert(f.count() > 0)
+    assert(f.where(col("state").isin("dropped_scheme", "dropped_ext")).count() == 0)
+    // the reference's image-extension skip lives inside its http branch:
+    // ftp://…/x.jpg IS fetched (ends done or error, never dropped)
+    val ftpImg = f.where(lower(col("url")).endsWith(".jpg"))
+    assert(ftpImg.count() > 0)
+    assert(ftpImg.where(!col("state").isin("done", "error", "denied_robots")).count() == 0)
+    val samples = ftpStore.readLatest("samples").get
+      .where(col("url").startsWith("ftp:")).cache()
+    assert(samples.count() > 0)
+    // engine re-render matches the golden FTP text byte-for-byte
+    assert(samples.where(!col("render_match")).count() == 0)
+    // FTP sample shape: NSLOOKUP/HOST/WHOIS + content + TIMER, no
+    // HEADER/CYCLING blocks (DownloadFTPFile writes none)
+    val one = samples.select("text").head.getString(0)
+    assert(!one.contains("<=HEADER BEGIN=>"))
+    assert(!one.contains("<=CYCLING"))
+    assert(one.contains("<=WHOIS BEGIN=>") && one.contains("<=HTTP BEGIN=>")
+      && one.contains("<=TIMER BEGIN=>"))
+    // http behavior is unchanged by the flag: same done count as the
+    // default crawl's http side
+    val httpDone = ftpStore.readLatest("frontier").get
+      .where(!col("url").startsWith("ftp:") && col("state") === "done").count()
+    assert(httpDone == frontier.where(col("state") === "done").count())
+    samples.unpersist(); f.unpersist()
+  }
+
+  test("S8: with fetchFtp off (default) ftp URLs stay dropped_scheme") {
+    val ftpRows = frontier.where(col("url").startsWith("ftp:"))
+    assert(ftpRows.count() > 0)
+    assert(ftpRows.where(col("state") =!= "dropped_scheme").count() == 0)
+  }
 }
