@@ -15,10 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * BUDGET-AWARE: the whole run fits `SPARK_GRAFT_BENCH_BUDGET_SEC`
   * (default 1100 s) of wall clock. Every headline query runs in a job
   * group with a hard timeout (cancelled, recorded as negative time);
-  * a full result line is printed BEFORE the scaling section starts, so
-  * even an external kill mid-scaling leaves a parseable result; the
-  * scaling section sizes itself to the remaining budget (repeats and
-  * the 32-core point are dropped first, then scaling entirely).
+  * a full result line is printed BEFORE the scaling section starts and
+  * again after every interleaved pair, so even an external kill leaves
+  * a parseable result; the scaling section sizes itself to the
+  * remaining budget (up to 3 interleaved pairs, fewer under pressure,
+  * then scaling dropped entirely).
   *
   * Scaling protocol (BASELINE.md): the same crawl at N and 4N cores on
   * the same pre-materialized input, each level in a FRESH FORKED JVM
@@ -45,8 +46,11 @@ object Bench {
     * the orders-derived URL space — see [[graft.jobs.Synth.seeds]]);
     * politeness budget scales with it so wave COUNT stays constant and
     * wave SIZE grows, which is how the 10^10 design point behaves (per-
-    * wave fixed cost amortized over huge waves). */
-  private val seedRep = sys.env.getOrElse("SPARK_GRAFT_SEED_REP", "1").toInt
+    * wave fixed cost amortized over huge waves). Defaults to the scaling
+    * section's rep so the headline crawl IS the 32-thread point of the
+    * same workload the scaling gate measures. */
+  private val seedRep = sys.env.getOrElse("SPARK_GRAFT_SEED_REP",
+    sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "8")).toInt
 
   /** One full crawl+extract run over pre-built inputs; fixture
     * bucketing/caching happens OUTSIDE the timed window (a deployment
@@ -130,8 +134,23 @@ object Bench {
       }
     }
 
-    // 2. the north-metric crawl at full parallelism
-    val (urls, crawlSec) = crawlRun(spark, sfDir)
+    // 2. the north-metric crawl at full parallelism, over the SAME
+    // pre-materialized fixtures the scaling forks read (synthesized
+    // once — the round-1 layout synthesized the population twice and
+    // the duplicate cost starved the scaling repeats under host noise)
+    val scalingOn = !sys.env.get("SPARK_GRAFT_SCALING").contains("0")
+    val fixDir: Option[String] =
+      if (scalingOn) {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-fix-").toString
+        Fixtures.pages(spark, sfDir, seedRep).toDF.write.parquet(s"$d/pages")
+        Fixtures.seeds(spark, sfDir, seedRep).write.parquet(s"$d/seeds")
+        Some(d)
+      } else None
+    val (urls, crawlSec) = fixDir match {
+      case Some(d) => crawlRunOn(spark,
+        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), seedRep)
+      case None => crawlRun(spark, sfDir)
+    }
     val urlsPerSec = urls / crawlSec
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + v }
@@ -150,16 +169,13 @@ object Bench {
     // N defaults to 2: this VM's per-core throughput collapses beyond
     // ~8-16 busy threads (measured — see BASELINE.md), so 2→8 is the
     // window where hardware parallelism is actually available; the
-    // 32-core point is also reported for the curve when budget allows.
+    // full-parallelism point of the curve is the in-session headline
+    // crawl (session32_* fields) — same fixtures, no third fork.
     val scaling: String =
-      if (!sys.env.get("SPARK_GRAFT_SCALING").contains("0") && remaining > 120) {
+      if (scalingOn && fixDir.isDefined && remaining > 120) {
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "2").toInt
-        val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "8").toInt
-        // materialize the scaling fixtures ONCE; every fork reads the
-        // same parquet instead of re-synthesizing
-        val fixDir = java.nio.file.Files.createTempDirectory("graft-bench-fix-").toString
-        Fixtures.pages(spark, sfDir, rep).toDF.write.parquet(s"$fixDir/pages")
-        Fixtures.seeds(spark, sfDir, rep).write.parquet(s"$fixDir/seeds")
+        val rep = seedRep
+        val fix = fixDir.get
         spark.stop()
 
         def runAt(cpus: Int): (Long, Double) = {
@@ -184,7 +200,7 @@ object Bench {
           val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
             s"-Xmx$mem", "-Dspark.ui.enabled=false",
             "-cp", System.getProperty("java.class.path"),
-            "graft.BenchOne", sfDir, cpus.toString, rep.toString, fixDir)
+            "graft.BenchOne", sfDir, cpus.toString, rep.toString, fix)
           val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
           val proc = pb.start()
           // drain concurrently (a full pipe would deadlock the child)
@@ -205,31 +221,31 @@ object Bench {
         def better(a: (Long, Double), b: (Long, Double)): (Long, Double) =
           if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
         def j(d: Double): String = if (d.isNaN) "null" else d.toString
+        // session32_*: the in-session headline crawl over the same
+        // fixtures at local[cpus] (unpinned, warm JVM) — the full-
+        // parallelism point of the curve without a third fork
         def scalingJson(uN: Long, tN: Double, u4: Long, t4: Double,
-            runs: Int, u32: Long, t32: Double): String =
-          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j((tN / t4) / 4.0)},"local32_sec":${j(t32)},"local32_urls_per_sec":${j(u32 / t32)}}"""
+            runs: Int): String =
+          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j((tN / t4) / 4.0)},"session32_cores":$cpus,"session32_sec":$crawlSec,"session32_urls_per_sec":$urlsPerSec}"""
 
-        // interleaved N,4N[,N,4N] with per-level best: host-noise drift
+        // interleaved N,4N[,N,4N…] with per-level best: host-noise drift
         // hits both levels of a pair equally. A cumulative result line
         // prints after EACH pair — wherever an external kill lands, the
-        // last parseable line carries the best evidence so far. Repeats
-        // (which tighten the gate metric) outrank the 32-core point
-        // (curve garnish) under budget pressure.
+        // last parseable line carries the best evidence so far. Up to 3
+        // pairs while budget allows: repeats are what make the gate
+        // metric robust to shared-host noise.
         var (uN, tN) = runAt(n)
         var (u4, t4) = runAt(4 * n)
         var runs = 1
-        println(line(scalingJson(uN, tN, u4, t4, runs, 0L, Double.NaN)))
-        val pairCost = if (t4.isNaN) 240.0 else (tN + t4) * 1.25 + 80
-        if (remaining > pairCost + 40) {
+        println(line(scalingJson(uN, tN, u4, t4, runs)))
+        def pairCost = if (t4.isNaN) 240.0 else (tN + t4) * 1.1 + 60
+        while (runs < 3 && remaining > pairCost) {
           val r2 = better((uN, tN), runAt(n)); uN = r2._1; tN = r2._2
           val r3 = better((u4, t4), runAt(4 * n)); u4 = r3._1; t4 = r3._2
-          runs = 2
-          println(line(scalingJson(uN, tN, u4, t4, runs, 0L, Double.NaN)))
+          runs += 1
+          println(line(scalingJson(uN, tN, u4, t4, runs)))
         }
-        val (u32, t32) =
-          if (remaining > (if (t4.isNaN) 180.0 else t4 * 1.5 + 60)) runAt(32)
-          else (0L, Double.NaN)
-        scalingJson(uN, tN, u4, t4, runs, u32, t32)
+        scalingJson(uN, tN, u4, t4, runs)
       } else { spark.stop(); "" }
 
     // 5. the final, complete line (driver-parsed; supersedes insurance)
