@@ -183,7 +183,7 @@ object Robots {
   /** [[parse]] with a thread-local LRU memo — the row-local check used
     * after the [[rulesTable]] join. */
   def cachedParse(txt: String, agent: String = "graftbot"): Rules = {
-    val key = agent + " " + txt
+    val key = agent + "\u0000" + txt
     val m = parseMemo.get()
     val got = m.get(key)
     if (got != null) got

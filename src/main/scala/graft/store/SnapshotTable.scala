@@ -56,10 +56,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Int] = {
     if (!Files.isDirectory(manifestsDir)) return None
-    val vs = Files.list(manifestsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
-      .toSeq
+    val stream = Files.list(manifestsDir) // closed below: called once per wave
+    val vs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
+        .toSeq
+      finally stream.close()
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -227,10 +230,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
-  /** A scratch-dataset path under the store root (never referenced by
-    * manifests; used for recomputable intermediates like the crawl's
-    * prefetched fetch results — Iceberg analogue: an unregistered
-    * staging location next to the table). */
+  /** A scratch-dataset path under the store root, used for the crawl's
+    * prefetched fetch results. NOTE: once a wave commits with a
+    * [[SnapshotTable.ViewRef]] into it, the referenced `wave=K` dirs
+    * are live table data (do not delete scratch out from under a store
+    * with view-bearing manifests) — Iceberg analogue: existing data
+    * files adopted by a metadata-only append. */
   def scratchPath(name: String): String =
     Paths.get(root, "scratch", name).toString
 
