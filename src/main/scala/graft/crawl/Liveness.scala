@@ -46,26 +46,29 @@ object Liveness {
   }
 
   /** P2 — title heuristics over every extracted title text
-    * (spider.py:336-369). `titles` = all `//title/text()` values. */
+    * (spider.py:336-369). `titles` = all `//title/text()` values.
+    * Hot path (runs per fetched page): each screen uses
+    * [[Py.pySearchHit]], whose required-literal guard rejects
+    * non-matching titles with one `contains` instead of a regex. */
   def titleCheck(titles: Seq[String]): Verdict = {
     for (origin <- titles) {
       val title = origin
       val lower = title.toLowerCase
       for (code <- dontDownloadErrCodes)
-        if (Py.pySearch("^(.*\\d\\D+|\\D*)" + code + "(\\D+\\d.*|\\D*)$", title).isDefined)
+        if (Py.pySearchHit("^(.*\\d\\D+|\\D*)" + code + "(\\D+\\d.*|\\D*)$", title))
           return Verdict(alive = false, code.toString)
-      if (Py.pySearch("^.*suspended.*$", lower).isDefined)
+      if (Py.pySearchHit("^.*suspended.*$", lower))
         return Verdict(alive = false, "suspended")
-      if (Py.pySearch("^.*linkbucks\\.com - get your share!.*$", lower).isDefined)
+      if (Py.pySearchHit("^.*linkbucks\\.com - get your share!.*$", lower))
         return Verdict(alive = false, "suspended(linkbucks)")
-      if (Py.pySearch("^contact support$", lower).isDefined)
+      if (Py.pySearchHit("^contact support$", lower))
         return Verdict(alive = false, "suspended")
-      if (Py.pySearch("^(.* |.* can|.* could|)not(hing| be|) found.*$", lower).isDefined)
+      if (Py.pySearchHit("^(.* |.* can|.* could|)not(hing| be|) found.*$", lower))
         return Verdict(alive = false, "page not found")
-      if (Py.pySearch("^(.* |.*suspected |)phishing.*$", lower).isDefined)
+      if (Py.pySearchHit("^(.* |.*suspected |)phishing.*$", lower))
         return Verdict(alive = false, "suspend(suspected phishing)")
       for (s <- pageNotFoundStr)
-        if (Py.pySearch("^.*" + s.toLowerCase + ".*$", lower).isDefined)
+        if (Py.pySearchHit("^.*" + s.toLowerCase + ".*$", lower))
           return Verdict(alive = false, s"page not found($s)")
       for (s <- pageNotFoundStrUtf8)
         if (origin.contains(s))

@@ -653,7 +653,7 @@ object ExtractorSets {
 
   /** Extract with a selected set over rendered sample text. */
   def extract(setName: String, sampleText: String, cfg: ExtractConfig): Array[Double] = {
-    val data = Blocks.split(Py.readLines(sampleText))
+    val data = Blocks.splitText(sampleText)
     all(setName).extract(data, cfg)
   }
 }

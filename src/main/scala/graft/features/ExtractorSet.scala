@@ -49,7 +49,7 @@ object ExtractorSet5 {
 
   /** Extract the full 30-value vector from rendered sample text. */
   def extract(sampleText: String, cfg: ExtractConfig): Array[Double] = {
-    val data = Blocks.split(Py.readLines(sampleText))
+    val data = Blocks.splitText(sampleText)
     extractFromBlocks(data, cfg)
   }
 

@@ -82,9 +82,14 @@ object HttpFeatures {
     val kept = Vector.newBuilder[String]
     for (row <- temp.split("\n", -1)) {
       val r = Py.rstrip(row)
-      if (Py.pyMatch("^<!--.*(-->.*<!--)+.*-->$", r)) kept += r
-      else if (Py.pyMatch("^<!--.*-->$", r)) () // dropped
-      else kept += r
+      // fast reject: both comment regexes require the `<!--` prefix and
+      // `-->` suffix (rows are single lines, so `.*` spans freely); the
+      // regexes only run on comment-shaped rows
+      if (r.length >= 7 && r.startsWith("<!--") && r.endsWith("-->")) {
+        if (Py.pyMatch("^<!--.*(-->.*<!--)+.*-->$", r)) kept += r
+        else if (Py.pyMatch("^<!--.*-->$", r)) () // dropped
+        else kept += r
+      } else kept += r
     }
     kept.result().mkString("\n")
   }
@@ -92,17 +97,22 @@ object HttpFeatures {
   /** `__cal_tag_block_rows` (:169-184). Quirks mirrored: a tag at column
     * 0 is invisible (`row.find(tag) > 0`), and a block opening at row 0
     * never closes (`block_begin > 0`). */
-  def calTagBlockRows(htmlStr: String, tagName: String): Int = {
+  def calTagBlockRows(htmlStr: String, tagName: String): Int =
+    calTagBlockRows(htmlStr.split("\n", -1), tagName)
+
+  /** [[calTagBlockRows]] over pre-split rows (split reuse on the
+    * per-block hot path). */
+  def calTagBlockRows(rows: Array[String], tagName: String): Int = {
     var temp = 0
     var blockBegin = -1
-    val rows = htmlStr.split("\n", -1)
     var i = 0
     while (i < rows.length) {
       val row = rows(i)
       if (row.indexOf(tagName) > 0) {
         val r0 = Py.rstrip(row)
-        val l = Py.pyFindAllCount("<" + tagName, r0)
-        val r = Py.pyFindAllCount("</" + tagName + ">", r0)
+        // the findall patterns are metachar-free literals → plain counts
+        val l = Py.countLiteral(r0, "<" + tagName)
+        val r = Py.countLiteral(r0, "</" + tagName + ">")
         if (l > r) blockBegin = i
         else if (r > l && blockBegin > 0) { temp += i - blockBegin + 1; blockBegin = -1 }
         else if (l > 0) temp += 1
@@ -115,17 +125,20 @@ object HttpFeatures {
   /** `_get_script_block_rows` via `__cal_tag_block` (:61-83) — returns
     * the rows, with the reference's off-by-slice quirk
     * `html_str_list[block_begin : i - block_begin + 1]` mirrored. */
-  def calTagBlock(htmlStr: String, tagName: String): Vector[String] = {
+  def calTagBlock(htmlStr: String, tagName: String): Vector[String] =
+    calTagBlock(htmlStr.split("\n", -1), tagName)
+
+  /** [[calTagBlock]] over pre-split rows. */
+  def calTagBlock(rows: Array[String], tagName: String): Vector[String] = {
     val out = Vector.newBuilder[String]
-    val rows = htmlStr.split("\n", -1)
     var blockBegin = -1
     var i = 0
     while (i < rows.length) {
       val row = rows(i)
       if (row.indexOf(tagName) > 0) {
         val r0 = Py.rstrip(row)
-        val l = Py.pyFindAllCount("<" + tagName, r0)
-        val r = Py.pyFindAllCount("</" + tagName + ">", r0)
+        val l = Py.countLiteral(r0, "<" + tagName)
+        val r = Py.countLiteral(r0, "</" + tagName + ">")
         if (l > r) blockBegin = i
         else if (r > l && blockBegin > 0) {
           val end = i - blockBegin + 1 // reference quirk: NOT i + 1
@@ -141,25 +154,44 @@ object HttpFeatures {
 
   def buildState(htmlStr: String): State = {
     val striped = stripedHtmlStr(htmlStr)
+    val stripedRows = striped.split("\n", -1)
     val tags = TagScanner.scan(htmlStr)
-    val redirect = TagScanner.findAll(tags, "meta").filter { m =>
-      m.getOpt("http-equiv").exists(v => Py.pyMatchI("^refresh$", v))
+    // one pass over the tag list instead of nine findAll filters; each
+    // bucket keeps document order (iframe/frame stay segregated to
+    // mirror `find_all('iframe') + find_all('frame')` concatenation)
+    val aB, linkB, imgB, submitB, iframeB, frameB, redirectB, scriptB = Vector.newBuilder[Tag]
+    val titleB = Vector.newBuilder[String]
+    for (t <- tags) {
+      t.name match {
+        case "a" => aB += t
+        case "link" => linkB += t
+        case "img" => imgB += t
+        case "iframe" => iframeB += t
+        case "frame" => frameB += t
+        case "script" => scriptB += t
+        case "meta" =>
+          if (t.getOpt("http-equiv").exists(v => Py.pyMatchI("^refresh$", v))) redirectB += t
+        case "title" =>
+          if (Py.strip(t.text).nonEmpty) titleB += t.text
+        case _ => ()
+      }
+      if (t.getOpt("type").contains("submit")) submitB += t
     }
     State(
       htmlStr = htmlStr,
       tags = tags,
-      aTags = TagScanner.findAll(tags, "a"),
-      linkTags = TagScanner.findAll(tags, "link"),
-      imgTags = TagScanner.findAll(tags, "img"),
-      submitTags = TagScanner.findAllByAttr(tags, "type", "submit"),
-      frameTags = TagScanner.findAll(tags, "iframe") ++ TagScanner.findAll(tags, "frame"),
-      redirectTags = redirect,
-      scriptTags = TagScanner.findAll(tags, "script"),
-      styleBlockRows = calTagBlockRows(striped, "style"),
-      scriptBlockRows = calTagBlockRows(striped, "script"),
-      totalRows = striped.split("\n", -1).length,
+      aTags = aB.result(),
+      linkTags = linkB.result(),
+      imgTags = imgB.result(),
+      submitTags = submitB.result(),
+      frameTags = iframeB.result() ++ frameB.result(),
+      redirectTags = redirectB.result(),
+      scriptTags = scriptB.result(),
+      styleBlockRows = calTagBlockRows(stripedRows, "style"),
+      scriptBlockRows = calTagBlockRows(stripedRows, "script"),
+      totalRows = stripedRows.length,
       bytes = Py.byteLen(striped),
-      titles = TagScanner.findAll(tags, "title").map(_.text).filter(t => Py.strip(t).nonEmpty),
+      titles = titleB.result(),
       scriptBlock = calTagBlock(htmlStr, "script"))
   }
 
@@ -171,18 +203,22 @@ object HttpFeatures {
     * ∉ {'.', page domain}, divide by the TOTAL tag count. */
   private def externalRate(tags: Vector[Tag], attr: String, pageDomain: String,
       include: Option[String] => Boolean): Double = {
-    var counts = Map.empty[String, Int]
+    val counts = new java.util.HashMap[String, Int]()
     var total = 0
     for (node <- tags) {
       val url = node.getOpt(attr)
       total += 1
       if (include(url)) {
         val d = Canonicalize.extractorDomain(url.get)
-        counts += (d -> (counts.getOrElse(d, 0) + 1))
+        counts.merge(d, 1, (a, b) => a + b)
       }
     }
     var m = 0
-    for ((d, c) <- counts) if (c > m && d != "." && d != pageDomain) m = c
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > m && e.getKey != "." && e.getKey != pageDomain) m = e.getValue
+    }
     if (total > 0) m.toDouble / total.toDouble else 0.0
   }
 
@@ -215,7 +251,13 @@ object HttpFeatures {
   def formInJavascriptWrite(st: State): Boolean =
     st.scriptBlockRows != 0 && {
       val block = st.scriptBlock.mkString("\n")
-      Py.pyMatchM("^.*write\\(.*<form[^>]*>.*$", Py.rstrip(block.toLowerCase))
+      // the anchored match (`lookingAt`, `.` excludes \n) can only
+      // succeed within the FIRST line, so lowercase just that line
+      // instead of the whole block; a cheap contains rejects first
+      val nl = block.indexOf('\n')
+      val first = (if (nl < 0) block else block.substring(0, nl)).toLowerCase
+      first.contains("write(") &&
+        Py.pyMatchM("^.*write\\(.*<form[^>]*>.*$", first)
     }
 
   /** `get_form_in_javascript` (:92-137). Quirks mirrored: `name`/`id`
@@ -230,24 +272,25 @@ object HttpFeatures {
     var number = 0
     for (row0 <- st.scriptBlock) {
       val row = Py.rstrip(row0)
-      Py.pySearchM("^.*getElementById\\(.([^)]*).\\).*$", row) match {
+      Py.pySearchMGuarded("^.*getElementById\\(.([^)]*).\\).*$", row) match {
         case Some(m) =>
           val text = Py.strip(m.group(1))
           if (formIdChars.exists(i => Py.strip(i) == text)) number += 1
         case None =>
-          if (Py.pySearchM("^.*getElementsByTagName\\(.form.\\).*$", row).isDefined) number += 1
-          else Py.pySearchM("^.*getElementsByClassName\\(.([^)]*).\\).*$", row) match {
+          if (Py.pySearchMGuarded("^.*getElementsByTagName\\(.form.\\).*$", row).isDefined) number += 1
+          else Py.pySearchMGuarded("^.*getElementsByClassName\\(.([^)]*).\\).*$", row) match {
             case Some(m) =>
               val text = Py.strip(m.group(1))
               if (formClassNames.exists(i => Py.strip(i) == text)) number += 1
             case None =>
-              Py.pySearchM("^.*forms\\[.([^\\]]*).\\].*$", row) match {
+              Py.pySearchMGuarded("^.*forms\\[.([^\\]]*).\\].*$", row) match {
                 case Some(m) =>
                   val text = Py.strip(m.group(1))
                   if (formNameChars.exists(i => Py.strip(i) == text)) number += 1
                 case None =>
                   // reference uses re.match here (:123) — anchored
-                  if (Py.pyMatchM("^.*getElementsByName\\(.([^)]*).\\).*$", row)) {
+                  if (row.contains("getElementsByName") &&
+                      Py.pyMatchM("^.*getElementsByName\\(.([^)]*).\\).*$", row)) {
                     val m = java.util.regex.Pattern
                       .compile("^.*getElementsByName\\(.([^)]*).\\).*$", java.util.regex.Pattern.MULTILINE)
                       .matcher(row)
@@ -255,7 +298,7 @@ object HttpFeatures {
                       val text = Py.strip(m.group(1))
                       if (formNameChars.exists(i => Py.strip(i) == text)) number += 1
                     }
-                  } else Py.pySearchM("^.*querySelector\\(.([^)]*).\\).*$", row) match {
+                  } else Py.pySearchMGuarded("^.*querySelector\\(.([^)]*).\\).*$", row) match {
                     case Some(m) =>
                       val text = Py.strip(m.group(1))
                       if ((formClassNames ++ formIdChars).exists(i => Py.strip(i) == text)) number += 1

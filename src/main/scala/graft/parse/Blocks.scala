@@ -26,8 +26,30 @@ object Blocks {
 
   final case class BlockData(url: String, blocks: Map[String, Vector[String]])
 
-  private val beginRe = "^<=.* BEGIN=>$"
-  private val endRe = "^<=.* END=>$"
+  /** Sentinel classification of one line: 0 = content, 1 = BEGIN,
+    * 2 = END. Exactly `pyMatch("^<=.* BEGIN=>$" / "^<=.* END=>$",
+    * Py.strip(l))` (feature_extractor.py:108,115) — the hot
+    * path (two regex matches + a strip allocation per line of every
+    * rendered sample) reduced to bounded char scans: the regexes are
+    * `^<=` + `.*` (no newline) + a literal suffix + `$`, over a
+    * whitespace-stripped single line. */
+  private def sentinelKind(l: String): Int = {
+    var b = 0
+    var e = l.length
+    while (b < e && Character.isWhitespace(l.charAt(b))) b += 1
+    while (e > b && Character.isWhitespace(l.charAt(e - 1))) e -= 1
+    if (e - b < 8) return 0 // shortest sentinel is "<= END=>"
+    if (l.charAt(b) != '<' || l.charAt(b + 1) != '=') return 0
+    if (l.charAt(e - 1) != '>' || l.charAt(e - 2) != '=') return 0
+    val kind =
+      if (e - b >= 10 && l.regionMatches(e - 8, " BEGIN=>", 0, 8)) 1
+      else if (l.regionMatches(e - 6, " END=>", 0, 6)) 2
+      else 0
+    if (kind == 0) return 0
+    var i = b + 2 // `.*` excludes \n: an interior newline breaks the match
+    while (i < e) { if (l.charAt(i) == '\n') return 0; i += 1 }
+    kind
+  }
 
   def split(dataList: Seq[String]): BlockData = {
     val blocks = mutable.LinkedHashMap.empty[String, Vector[String]]
@@ -37,8 +59,8 @@ object Blocks {
     var classTypeIsSummary = false // mirrors class_type staying a list
     val url = if (dataList.nonEmpty) dataList.head else ""
     for (l <- dataList) {
-      val stripped = Py.strip(l)
-      if (Py.pyMatch(beginRe, stripped)) {
+      val kind = sentinelKind(l)
+      if (kind == 1) {
         entries += 1
         val first = Py.pySplitWs(l).headOption.getOrElse("")
         val tag = Py.sliceFrom(first, 2)
@@ -48,7 +70,7 @@ object Blocks {
         } else {
           classTypeIsSummary = true
         }
-      } else if (Py.pyMatch(endRe, stripped)) {
+      } else if (kind == 2) {
         if (entries == 1 && classType != null) {
           if (!classTypeIsSummary) {
             val key = classType.toLowerCase
@@ -67,6 +89,71 @@ object Blocks {
     BlockData(url, blocks.toMap)
   }
 
-  /** Convenience: split rendered sample text. */
-  def splitText(text: String): BlockData = split(Py.readLines(text))
+  /** [[sentinelKind]] over a [start, end) line range of `text` —
+    * avoids the per-line substring on the direct-scan path. */
+  private def sentinelKindRange(text: String, start: Int, end: Int): Int = {
+    var b = start
+    var e = end
+    while (b < e && Character.isWhitespace(text.charAt(b))) b += 1
+    while (e > b && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+    if (e - b < 8) return 0
+    if (text.charAt(b) != '<' || text.charAt(b + 1) != '=') return 0
+    if (text.charAt(e - 1) != '>' || text.charAt(e - 2) != '=') return 0
+    val kind =
+      if (e - b >= 10 && text.regionMatches(e - 8, " BEGIN=>", 0, 8)) 1
+      else if (text.regionMatches(e - 6, " END=>", 0, 6)) 2
+      else 0
+    if (kind == 0) return 0
+    var i = b + 2
+    while (i < e) { if (text.charAt(i) == '\n') return 0; i += 1 }
+    kind
+  }
+
+  /** Split rendered sample text — the extract hot path. Identical
+    * result to `split(Py.readLines(text))` (property: the line walk
+    * below IS readlines — one line per '\n', trailing remainder kept),
+    * but scans the string directly: content lines append as ranges
+    * into the block builder instead of materializing a line Vector. */
+  def splitText(text: String): BlockData = {
+    val blocks = mutable.LinkedHashMap.empty[String, Vector[String]]
+    var entries = 0
+    val temp = new java.lang.StringBuilder
+    var classType: String = null
+    var classTypeIsSummary = false
+    var url = ""
+    var sawFirst = false
+    val n = text.length
+    var start = 0
+    while (start < n) {
+      val nl = text.indexOf('\n', start)
+      val end = if (nl < 0) n else nl + 1 // line span incl its '\n'
+      if (!sawFirst) { url = text.substring(start, end); sawFirst = true }
+      val kind = sentinelKindRange(text, start, end)
+      if (kind == 1) {
+        entries += 1
+        // rare path: materialize the line for the exact pySplitWs quirk
+        val first = Py.pySplitWs(text.substring(start, end)).headOption.getOrElse("")
+        val tag = Py.sliceFrom(first, 2)
+        if (tag != "NSLOOKUPSUMMARY") {
+          classType = tag
+          classTypeIsSummary = false
+        } else {
+          classTypeIsSummary = true
+        }
+      } else if (kind == 2) {
+        if (entries == 1 && classType != null) {
+          if (!classTypeIsSummary) {
+            val key = classType.toLowerCase
+            blocks(key) = blocks.getOrElse(key, Vector.empty) :+ temp.toString
+          }
+          temp.setLength(0)
+          entries -= 1
+        }
+      } else if (entries > 0) {
+        temp.append(text, start, end)
+      }
+      start = end
+    }
+    BlockData(url, blocks.toMap)
+  }
 }

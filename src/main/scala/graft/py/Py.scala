@@ -54,10 +54,107 @@ object Py {
     if (m.find()) Some(m) else None
   }
 
+  // ---- guarded search: a conservative required-literal pre-filter ----
+  //
+  // For a hot path that runs MANY rarely-matching regexes per string
+  // (liveness title screens), extract from the pattern a literal that
+  // every possible match must contain; String.contains (intrinsified)
+  // then rejects the common case without entering the regex engine.
+  // The guard is sound-by-construction: when the analysis cannot prove
+  // a literal is required (top-level alternation, escapes, classes,
+  // optional quantifiers), it emits NO guard and the regex always runs.
+
+  private val guardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Longest literal every match of `p` must contain, or "" if none is
+    * provable. Only depth-0 runs count (group contents may be optional
+    * via alternation); a run followed by `?`/`*`/`{` is discarded; any
+    * depth-0 `|` splits the whole pattern, so no literal is required. */
+  private[graft] def requiredLiteral(p: String): String = {
+    var best = ""
+    val run = new java.lang.StringBuilder
+    var depth = 0
+    var i = 0
+    val n = p.length
+    def flush(nextCh: Char): Unit = {
+      if (run.length > 0) {
+        if (nextCh != '?' && nextCh != '*' && nextCh != '{' &&
+            run.length > best.length) best = run.toString
+        run.setLength(0)
+      }
+    }
+    while (i < n) {
+      val c = p.charAt(i)
+      c match {
+        case '|' if depth == 0 => return "" // top-level alternation: nothing required
+        case '(' => flush(c); depth += 1
+        case ')' =>
+          flush(c)
+          depth -= 1
+          // a group followed by ?/* is optional; the group content was
+          // already excluded (depth > 0), nothing to do
+        case '\\' => flush(c); i += 1 // escaped char: end run, skip it
+        case '[' => // char class: end run, skip to its ]
+          flush(c)
+          i += 1
+          if (i < n && p.charAt(i) == '^') i += 1
+          if (i < n && p.charAt(i) == ']') i += 1 // literal ] first
+          while (i < n && p.charAt(i) != ']') { if (p.charAt(i) == '\\') i += 1; i += 1 }
+        case '{' => // {m,n} quantifier: its digits are not literal text
+          flush(c)
+          while (i < n && p.charAt(i) != '}') i += 1
+        case _ =>
+          if (depth == 0 &&
+              (Character.isLetterOrDigit(c) || " !,'&:;_-".indexOf(c) >= 0)) {
+            // next char a quantifier makes the LAST char optional —
+            // flush() handles it by discarding the whole run (conservative)
+            run.append(c)
+          } else flush(c)
+      }
+      i += 1
+    }
+    flush(' ')
+    best
+  }
+
+  private def guardOf(p: String): String = {
+    var g = guardCache.get(p)
+    if (g == null) {
+      g = requiredLiteral(p)
+      if (g.length < 3) g = "" // too short to pay for the contains scan
+      guardCache.put(p, g)
+    }
+    g
+  }
+
+  /** `re.search(p, s) is not None`, with the required-literal fast
+    * reject. Exactly equivalent to `pySearch(p, s).isDefined`. */
+  def pySearchHit(p: String, s: String): Boolean = {
+    val g = guardOf(p)
+    if (g.nonEmpty && !s.contains(g)) false
+    else compiled(p, 0).matcher(s).find()
+  }
+
+  /** Non-overlapping literal occurrence count — `re.findall` for a
+    * metacharacter-free pattern (callers must pass literals only). */
+  def countLiteral(s: String, sub: String): Int = {
+    var n = 0
+    var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+
   /** `re.search(p, s, re.MULTILINE)`. */
   def pySearchM(p: String, s: String): Option[Matcher] = {
     val m = compiled(p, Pattern.MULTILINE).matcher(s)
     if (m.find()) Some(m) else None
+  }
+
+  /** [[pySearchM]] with the required-literal fast reject (guards are
+    * case-sensitive literals, so they hold under MULTILINE too). */
+  def pySearchMGuarded(p: String, s: String): Option[Matcher] = {
+    val g = guardOf(p)
+    if (g.nonEmpty && !s.contains(g)) None else pySearchM(p, s)
   }
 
   /** `re.findall(p, s)` count (full-match groups not needed by callers). */
@@ -136,7 +233,24 @@ object Py {
   }
 
   /** UTF-8 byte length — Python 2 `len()` of a byte-`str` read from a
-    * utf-8 file (`extractors5/http_feature.py:151-152`). */
-  def byteLen(s: String): Int =
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    * utf-8 file (`extractors5/http_feature.py:151-152`). Counted
+    * without materializing the byte array (this runs per http block on
+    * the extract hot path); unpaired surrogates count 1, matching
+    * Java's `getBytes` '?' replacement. */
+  def byteLen(s: String): Int = {
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < len &&
+               Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else if (Character.isSurrogate(c)) n += 1 // unpaired → '?'
+      else n += 3
+      i += 1
+    }
+    n
+  }
 }
