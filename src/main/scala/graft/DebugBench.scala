@@ -54,9 +54,10 @@ object DebugBench {
         val ms = (System.nanoTime() - jobStart.getOrDefault(j.jobId, System.nanoTime())) / 1000000
         if (ms > 300) println(f"    job ${j.jobId}%3d: ${ms / 1000.0}%6.2f s")
       }
+      val stageMs = sys.env.getOrElse("SPARK_GRAFT_STAGE_MS", "2000").toLong
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
-        if (m != null && m.executorRunTime > 2000) {
+        if (m != null && m.executorRunTime > stageMs) {
           val sw = m.shuffleWriteMetrics.writeTime / 1000000
           val sr = m.shuffleReadMetrics.fetchWaitTime
           println(f"    stage ${s.stageInfo.stageId}%3d [${s.stageInfo.name}] " +
@@ -78,7 +79,8 @@ object DebugBench {
     val pages = Fixtures.pages(spark, dir, rep).toDF
       .repartition(cpus, org.apache.spark.sql.functions.col("url")).cache()
     println(s"pages=${pages.count()}")
-    val seeds = Fixtures.seeds(spark, dir, rep).cache()
+    val seeds = Fixtures.seeds(spark, dir, rep)
+      .repartition(cpus, org.apache.spark.sql.functions.col("url")).cache()
     println(s"seeds=${seeds.count()}")
     val store = new SnapshotTable(spark, root)
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
@@ -104,5 +106,6 @@ object DebugBench {
     val urls = store.readLatest("frontier").get.where("state in ('done','error')").count()
     println(f"total: $total%.2f s, urls=$urls, urls/sec=${urls / total}%.0f")
     spark.stop()
+    Bench.deleteRecursively(root)
   }
 }

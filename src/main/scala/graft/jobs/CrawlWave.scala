@@ -328,7 +328,7 @@ final class CrawlWave(
     * (0 for the seed plan, lastWave+1 for discovery generations). */
   private def schedulePlan(frontier0: DataFrame, waveOffset: Int): DataFrame = {
     val agent = cfg.agent
-    val denied =
+    val denied0 =
       if (!cfg.robots) frontier0.withColumn("crawl_delay_ms", lit(null).cast("long"))
       else {
         val robots = Robots.rulesTable(
@@ -343,6 +343,14 @@ final class CrawlWave(
               lit("denied_robots")).otherwise(col("state")))
           .drop("robots_txt")
       }
+    // `denied` feeds THREE consumers — the two-phase rank's seq-bounds
+    // action, the scheduled (ready) union leg, and the non-ready leg.
+    // Uncached, each re-evaluates the whole upstream (seed scan → dup
+    // window → robots join) — measured 3× the planning work at rep=4.
+    // Persist once; released by the caller after the plan materializes.
+    val denied = denied0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releasePlanScratch() // at most one in flight
+    planScratch = denied
     val scheduled = Politeness
       .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs,
         twoPhaseRank = cfg.scalableRank)
@@ -350,6 +358,13 @@ final class CrawlWave(
       .drop("host_rank", "tokens", "rel_wave")
     denied.where(col("state") =!= "ready")
       .unionByName(scheduled).drop("crawl_delay_ms")
+  }
+
+  /** The intermediate plan frame persisted by [[schedulePlan]], alive
+    * until the derived plan is materialized (cache + commit). */
+  private var planScratch: DataFrame = _
+  private def releasePlanScratch(): Unit = {
+    if (planScratch != null) { planScratch.unpersist(false); planScratch = null }
   }
 
   /** Error rows for plan-time terminal states (S2/S3 drops, dup,
@@ -383,6 +398,7 @@ final class CrawlWave(
       metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
         "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong)))
     frontier.unpersist()
+    releasePlanScratch()
     v
   }
 
@@ -407,6 +423,7 @@ final class CrawlWave(
   private def cleanup(): Unit = {
     if (plan != null) { plan.unpersist(); plan = null }
     if (prefetched != null) { prefetched.unpersist(); prefetched = null }
+    releasePlanScratch()
   }
 
   /** Fetch + extract for EVERY planned ready row, lazily computed once
@@ -503,7 +520,7 @@ final class CrawlWave(
       metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
         "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered),
       expectedParent = Some(v))
-    discovered.unpersist(); planned.unpersist()
+    discovered.unpersist(); planned.unpersist(); releasePlanScratch()
     // swap the plan state to the new generation (its scratch dataset is
     // written lazily by the first new wave's prefetchAll)
     cleanup()
