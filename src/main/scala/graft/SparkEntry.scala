@@ -388,11 +388,22 @@ object SparkEntry {
     "w_crawl_order" -> Q(
       (s, dir) => {
         hostedView(s, dir)
-        s.sql(
+        // global crawl-order position WITHOUT a partitionless window
+        // (one task's sort at scale): range-partitioned global sort +
+        // zipWithIndex — the distributed form of row_number() OVER
+        // (ORDER BY wave, priority, seq); seq is unique so the total
+        // order (and thus every position) is deterministic
+        import s.implicits._
+        val base = s.sql(
           s"""WITH ${allowedCte.replace("FROM hosted", "FROM hosted_m")}, $scheduledCte
-             |SELECT seq, url, wave,
-             |  cast(row_number() OVER (ORDER BY wave, priority, seq) as bigint) AS position
-             |FROM scheduled""".stripMargin)
+             |SELECT seq, url, wave, priority FROM scheduled""".stripMargin)
+        s.createDataset(
+          base.sort("wave", "priority", "seq")
+            .select(col("seq").cast("long"), col("url"), col("wave").cast("int"))
+            .as[(Long, String, Int)].rdd
+            .zipWithIndex()
+            .map { case ((seq, url, wave), i) => (seq, url, wave, i + 1) })
+          .toDF("seq", "url", "wave", "position")
       },
       Some(Synth.duck(withSeeds(
         s"""$fetchableCte, $dedupCte, $hostedCte, $allowedCte, $scheduledCte
