@@ -31,8 +31,11 @@ object HotBench {
         val synth = NetSynth.forUrlNoBody(p.url, content.length)
         val verdict = Liveness.isAlive(Some(synth.contentType), content, synth.status)
         if (verdict.alive) {
-          val text = SampleRender.render(p.url, content, synth.net)
-          val features = ExtractorSet5.extract(text, ExtractConfig(p.warc_ts.toInstant.getEpochSecond))
+          // mirrors CrawlWave.fetchOutcome: direct-blocks fast path with
+          // the splitText fallback
+          val (text, blocksOpt) = SampleRender.renderWithBlocks(p.url, content, synth.net)
+          val data = blocksOpt.getOrElse(graft.parse.Blocks.splitText(text))
+          val features = ExtractorSet5.extractFromBlocks(data, ExtractConfig(p.warc_ts.toInstant.getEpochSecond))
           acc += features.length + text.length
         }
       }

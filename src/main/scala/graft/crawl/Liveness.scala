@@ -45,30 +45,47 @@ object Liveness {
     case _ => Alive
   }
 
+  // precompiled screens (pattern TEXT identical to the reference's
+  // inline re.search calls): building the pattern string per call —
+  // concat + a constant toLowerCase per pageNotFoundStr entry — cost
+  // ~8 µs/row on the fetch hot path; each Guarded carries its
+  // required-literal fast-reject (graft.py.Py.Guarded)
+  private val errCodeScreens: Array[(Py.Guarded, String)] =
+    dontDownloadErrCodes.map(code =>
+      new Py.Guarded("^(.*\\d\\D+|\\D*)" + code + "(\\D+\\d.*|\\D*)$") -> code.toString).toArray
+  private val suspendedScreen = new Py.Guarded("^.*suspended.*$")
+  private val linkbucksScreen = new Py.Guarded("^.*linkbucks\\.com - get your share!.*$")
+  private val contactScreen = new Py.Guarded("^contact support$")
+  private val notFoundScreen = new Py.Guarded("^(.* |.* can|.* could|)not(hing| be|) found.*$")
+  private val phishingScreen = new Py.Guarded("^(.* |.*suspected |)phishing.*$")
+  private val notFoundStrScreens: Array[(Py.Guarded, String)] =
+    pageNotFoundStr.map(s =>
+      new Py.Guarded("^.*" + s.toLowerCase + ".*$") -> s).toArray
+
   /** P2 — title heuristics over every extracted title text
     * (spider.py:336-369). `titles` = all `//title/text()` values.
-    * Hot path (runs per fetched page): each screen uses
-    * [[Py.pySearchHit]], whose required-literal guard rejects
-    * non-matching titles with one `contains` instead of a regex. */
+    * Hot path (runs per fetched page): every screen is a precompiled
+    * [[Py.Guarded]] whose required-literal guard rejects non-matching
+    * titles with one `contains` instead of a regex. */
   def titleCheck(titles: Seq[String]): Verdict = {
     for (origin <- titles) {
       val title = origin
       val lower = title.toLowerCase
-      for (code <- dontDownloadErrCodes)
-        if (Py.pySearchHit("^(.*\\d\\D+|\\D*)" + code + "(\\D+\\d.*|\\D*)$", title))
-          return Verdict(alive = false, code.toString)
-      if (Py.pySearchHit("^.*suspended.*$", lower))
+      for ((g, code) <- errCodeScreens)
+        if (g.hit(title))
+          return Verdict(alive = false, code)
+      if (suspendedScreen.hit(lower))
         return Verdict(alive = false, "suspended")
-      if (Py.pySearchHit("^.*linkbucks\\.com - get your share!.*$", lower))
+      if (linkbucksScreen.hit(lower))
         return Verdict(alive = false, "suspended(linkbucks)")
-      if (Py.pySearchHit("^contact support$", lower))
+      if (contactScreen.hit(lower))
         return Verdict(alive = false, "suspended")
-      if (Py.pySearchHit("^(.* |.* can|.* could|)not(hing| be|) found.*$", lower))
+      if (notFoundScreen.hit(lower))
         return Verdict(alive = false, "page not found")
-      if (Py.pySearchHit("^(.* |.*suspected |)phishing.*$", lower))
+      if (phishingScreen.hit(lower))
         return Verdict(alive = false, "suspend(suspected phishing)")
-      for (s <- pageNotFoundStr)
-        if (Py.pySearchHit("^.*" + s.toLowerCase + ".*$", lower))
+      for ((g, s) <- notFoundStrScreens)
+        if (g.hit(lower))
           return Verdict(alive = false, s"page not found($s)")
       for (s <- pageNotFoundStrUtf8)
         if (origin.contains(s))

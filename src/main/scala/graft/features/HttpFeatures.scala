@@ -77,11 +77,25 @@ object HttpFeatures {
   /** `__striped_html_str` (:157-167): rstrip the block, drop lines that
     * are a single whole-line comment (keep multi-comment lines), rstrip
     * each kept line, re-join. */
-  def stripedHtmlStr(htmlStr: String): String = {
-    val temp = Py.rstrip(htmlStr)
-    val kept = Vector.newBuilder[String]
-    for (row <- temp.split("\n", -1)) {
-      val r = Py.rstrip(row)
+  def stripedHtmlStr(htmlStr: String): String =
+    stripedFromRows(htmlStr.split("\n", -1))._1
+
+  /** [[stripedHtmlStr]] over the pre-split raw rows of the block —
+    * returns (joined striped string, its rows) so [[buildState]] splits
+    * the block exactly once. `rstrip(htmlStr).split` == raw rows up to
+    * the last row containing non-whitespace (the full-string rstrip
+    * only removes TRAILING whitespace, and every surviving row is
+    * per-row rstripped below anyway). */
+  private[features] def stripedFromRows(raw: Array[String]): (String, Array[String]) = {
+    var k = raw.length - 1
+    while (k >= 0 && { var j = 0; val r = raw(k)
+      while (j < r.length && Character.isWhitespace(r.charAt(j))) j += 1
+      j == r.length }) k -= 1
+    val kept = Array.newBuilder[String]
+    var i = 0
+    val last = if (k < 0) 0 else k // rstrip("")-> "" splits to one empty row
+    while (i <= last) {
+      val r = Py.rstrip(if (k < 0) "" else raw(i))
       // fast reject: both comment regexes require the `<!--` prefix and
       // `-->` suffix (rows are single lines, so `.*` spans freely); the
       // regexes only run on comment-shaped rows
@@ -90,8 +104,10 @@ object HttpFeatures {
         else if (Py.pyMatch("^<!--.*-->$", r)) () // dropped
         else kept += r
       } else kept += r
+      i += 1
     }
-    kept.result().mkString("\n")
+    val rows = kept.result()
+    (rows.mkString("\n"), rows)
   }
 
   /** `__cal_tag_block_rows` (:169-184). Quirks mirrored: a tag at column
@@ -153,8 +169,8 @@ object HttpFeatures {
   }
 
   def buildState(htmlStr: String): State = {
-    val striped = stripedHtmlStr(htmlStr)
-    val stripedRows = striped.split("\n", -1)
+    val rawRows = htmlStr.split("\n", -1) // the block's ONLY line split
+    val (striped, stripedRows) = stripedFromRows(rawRows)
     val tags = TagScanner.scan(htmlStr)
     // one pass over the tag list instead of nine findAll filters; each
     // bucket keeps document order (iframe/frame stay segregated to
@@ -192,7 +208,7 @@ object HttpFeatures {
       totalRows = stripedRows.length,
       bytes = Py.byteLen(striped),
       titles = titleB.result(),
-      scriptBlock = calTagBlock(htmlStr, "script"))
+      scriptBlock = calTagBlock(rawRows, "script"))
   }
 
   private def truthy(v: Option[String]): Boolean = v.exists(_.nonEmpty)

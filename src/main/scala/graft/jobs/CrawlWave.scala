@@ -4,7 +4,7 @@ import graft.crawl.Liveness
 import graft.features.{ExtractConfig, ExtractorSet5}
 import graft.fixtures.NetSynth
 import graft.frontier.{Politeness, Robots, SeenFilter, Skew}
-import graft.parse.{CharsetDecode, SampleRender}
+import graft.parse.{Blocks, CharsetDecode, SampleRender}
 import graft.store.SnapshotTable
 import graft.urls.Canonicalize
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -127,10 +127,36 @@ object CrawlWave {
     * form of the byte-identity check; the exact string compare lives in
     * the `byte_identity` oracle query and the test fixtures). */
   def hashText(s: String): Long = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // streams the UTF-8 encoding through the hash instead of
+    // materializing `s.getBytes` (a full-document allocation per row on
+    // the fetch hot path); byte-for-byte equal to hashing getBytes(UTF_8)
+    // incl. the '?' replacement for unpaired surrogates (property-tested)
+    val P = 0x100000001b3L
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) { h ^= c.toLong; h *= P }
+      else if (c < 0x800) {
+        h ^= (0xc0 | (c >> 6)).toLong; h *= P
+        h ^= (0x80 | (c & 0x3f)).toLong; h *= P
+      } else if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1))
+        i += 1
+        h ^= (0xf0 | (cp >> 18)).toLong; h *= P
+        h ^= (0x80 | ((cp >> 12) & 0x3f)).toLong; h *= P
+        h ^= (0x80 | ((cp >> 6) & 0x3f)).toLong; h *= P
+        h ^= (0x80 | (cp & 0x3f)).toLong; h *= P
+      } else if (Character.isSurrogate(c)) { h ^= '?'.toLong; h *= P }
+      else {
+        h ^= (0xe0 | (c >> 12)).toLong; h *= P
+        h ^= (0x80 | ((c >> 6) & 0x3f)).toLong; h *= P
+        h ^= (0x80 | (c & 0x3f)).toLong; h *= P
+      }
+      i += 1
+    }
     h
   }
 
@@ -244,10 +270,15 @@ object CrawlWave {
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, verdict.err, null, null,
           render_match = false, r.url_hash, links)
       else {
-        val text = SampleRender.render(r.url, content, synth.net)
+        // render + block split in one step: the direct-blocks fast path
+        // (sentinel-free payloads, the overwhelmingly common case) skips
+        // re-scanning the text the render just assembled; a payload
+        // containing "<=" falls back to the exact reference re-split
+        val (text, blocksOpt) = SampleRender.renderWithBlocks(r.url, content, synth.net)
+        val data = blocksOpt.getOrElse(Blocks.splitText(text))
         val asOf = r.warc_ts.map(_.toInstant.getEpochSecond)
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
-        val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
+        val features = ExtractorSet5.extractFromBlocks(data, ExtractConfig(asOf))
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
           features.toSeq, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
           links)

@@ -96,15 +96,58 @@ object SampleRender {
     * decrementing the cycle-walk count per write and breaking at the
     * first hop whose count is exhausted or absent.
     */
-  def render(url: String, content: String, net: NetInfo, redirectCycleTimes: Int = 2): String = {
+  def render(url: String, content: String, net: NetInfo, redirectCycleTimes: Int = 2): String =
+    renderWithBlocks(url, content, net, redirectCycleTimes)._1
+
+  /** True iff no line of `s` can parse as a block sentinel: a sentinel
+    * line starts (after leading whitespace) with `<=`, so a string
+    * without the two-char substring is provably sentinel-free. One
+    * intrinsified indexOf — the fast-path guard for
+    * [[renderWithBlocks]]. */
+  private def sentinelFree(s: String): Boolean = s.indexOf("<=") < 0
+
+  /** Payload of one rendered block string
+    * (`"\n<=KEY BEGIN=>\n" + payload + "\n<=KEY END=>\n"`): everything
+    * between the BEGIN line's newline and the END sentinel's `<=`. Only
+    * called on sentinel-free payloads, where `lastIndexOf("<=")` IS the
+    * END sentinel. */
+  private def payloadOf(blockStr: String): String = {
+    val i1 = blockStr.indexOf("=>\n") + 3
+    val i2 = blockStr.lastIndexOf("<=")
+    blockStr.substring(i1, i2)
+  }
+
+  /** [[render]] that ALSO returns the block split of the rendered text —
+    * `Some(data)` exactly when every payload is provably sentinel-free,
+    * in which case `data == Blocks.splitText(text)` (property-tested in
+    * CoreSpec). The extract hot path then skips re-scanning the text it
+    * just assembled; a payload containing `<=` (e.g. a JS `<=` operator
+    * in the body) returns None and the caller falls back to
+    * [[graft.parse.Blocks.splitText]] — the reference's re-split quirks
+    * (nesting, NSLOOKUPSUMMARY) only fire on sentinel-shaped payload
+    * lines, which the guard excludes. */
+  def renderWithBlocks(url: String, content: String, net: NetInfo,
+      redirectCycleTimes: Int = 2): (String, Option[Blocks.BlockData]) = {
     val sb = new StringBuilder
     sb ++= url + "\n"
+    var clean = url.indexOf('\n') < 0 && sentinelFree(url)
+    val blocks = mutable.LinkedHashMap.empty[String, Vector[String]]
+    def add(key: String, blockStr: String): Unit = {
+      sb ++= blockStr
+      if (clean) {
+        val payload = payloadOf(blockStr)
+        if (sentinelFree(payload))
+          blocks(key) = blocks.getOrElse(key, Vector.empty) :+ payload
+        else clean = false
+      }
+    }
     val walk = cycleWalk(net.finalHop.url, net.history.map(_.url), redirectCycleTimes)
-    if (walk.isCycle) sb ++= redirectWarning(walk.counts)
-    sb ++= nslookupBlock(net.nslookupSoaOut, net.nslookupOut)
-    sb ++= hostBlock(net.hostOut)
-    sb ++= whoisBlock(net.whoisOut)
+    if (walk.isCycle) add("cycling", redirectWarning(walk.counts))
+    add("nslookup", nslookupBlock(net.nslookupSoaOut, net.nslookupOut))
+    add("host", hostBlock(net.hostOut))
+    add("whois", whoisBlock(net.whoisOut))
     // download_file: history re-walk under the cycle-walk budget
+    lazy val mainContent = contentBlock(content) // built once, written per hop
     if (net.history.nonEmpty) {
       val budget = walk.counts
       var break = false
@@ -112,16 +155,17 @@ object SampleRender {
         budget.get(hop.url) match {
           case Some(c) if c > 0 =>
             budget(hop.url) = c - 1
-            sb ++= headerBlock(hop)
-            sb ++= contentBlock(content)
+            add("header", headerBlock(hop))
+            add("http", mainContent)
           case _ => break = true
         }
       }
     }
-    sb ++= headerBlock(net.finalHop)
-    sb ++= contentBlock(content)
-    sb ++= timerBlock(net.timerSeconds)
-    sb.result()
+    add("header", headerBlock(net.finalHop))
+    add("http", mainContent)
+    add("timer", timerBlock(net.timerSeconds))
+    val text = sb.result()
+    (text, if (clean) Some(Blocks.BlockData(url + "\n", blocks.toMap)) else None)
   }
 
   /** Sample-document render for one `ftp:` URL, mirroring

@@ -135,6 +135,18 @@ object Py {
     else compiled(p, 0).matcher(s).find()
   }
 
+  /** A pattern precompiled WITH its required-literal guard — for hot
+    * paths that test a fixed pattern set per row, where even the
+    * per-call cache lookups of [[pySearchHit]] (pattern-string hash +
+    * two ConcurrentHashMap gets) are measurable. `hit(s)` is exactly
+    * `pySearchHit(pattern, s)`. */
+  final class Guarded(p: String) extends Serializable {
+    private val guard: String = { val g = requiredLiteral(p); if (g.length < 3) "" else g }
+    @transient private lazy val pat: Pattern = Pattern.compile(p)
+    def hit(s: String): Boolean =
+      (guard.isEmpty || s.contains(guard)) && pat.matcher(s).find()
+  }
+
   /** Non-overlapping literal occurrence count — `re.findall` for a
     * metacharacter-free pattern (callers must pass literals only). */
   def countLiteral(s: String, sub: String): Int = {

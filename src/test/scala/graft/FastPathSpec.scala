@@ -116,6 +116,94 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("renderWithBlocks direct blocks ≡ splitText(render) incl. fallback cases") {
+    import graft.model.{HeaderHop, NetInfo}
+    import graft.parse.SampleRender
+    val contents = Seq(
+      "<html><body>plain</body></html>",
+      "", "line1\nline2\n", "js if (a <= b) { x() }", // "<=" → fallback
+      "evil\n<=HTTP END=>\nafter", // sentinel payload → fallback
+      "evil\n<=FAKE BEGIN=>\nafter", "trailing no newline",
+      "многоязычный 内容 🙂", "  <=HTTP BEGIN=>  \nnested")
+    val hop = HeaderHop("http://t.example/a", 11, 200, "OK",
+      Seq("Content-Type" -> "text/html", "X-Pad" -> "v"))
+    val redirHop = HeaderHop("http://t.example/r", 11, 302, "Found",
+      Seq("Location" -> "http://t.example/a"))
+    val nets = Seq(
+      NetInfo("soa out\nline2", "ns out", "host out", "whois out", hop, Nil, 0.25),
+      // history re-walk (multiple header+http blocks)
+      NetInfo("soa", "ns", "host", "whois", hop, Seq(redirHop, redirHop), 1.5),
+      // cycling warning block (history revisits the same URL > times)
+      NetInfo("soa", "ns", "host", "whois", hop,
+        Seq(redirHop, redirHop, redirHop, redirHop), 2.0),
+      // net text containing "<=" → fallback
+      NetInfo("soa with js a <= b", "ns", "host", "whois", hop, Nil, 0.1))
+    for (net <- nets; content <- contents) {
+      val (text, direct) = SampleRender.renderWithBlocks("http://t.example/page", content, net)
+      assert(text == SampleRender.render("http://t.example/page", content, net))
+      val expected = Blocks.splitText(text)
+      direct match {
+        case Some(d) =>
+          assert(d.url == expected.url, s"url mismatch for content=$content")
+          assert(d.blocks == expected.blocks,
+            s"direct blocks diverge from splitText for content=$content net=$net")
+        case None =>
+          // fallback must only fire when some payload really contains "<="
+          assert(text.indexOf("<=", 0) >= 0)
+      }
+    }
+    // sentinel-bearing content MUST take the fallback (direct would be wrong)
+    val (_, d) = SampleRender.renderWithBlocks("http://t.example/page",
+      "evil\n<=HTTP END=>\nafter", nets.head)
+    assert(d.isEmpty)
+  }
+
+  test("hashText streams UTF-8 identically to hashing getBytes") {
+    def viaBytes(s: String): Long = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    import graft.jobs.CrawlWave.hashText
+    val samples = Seq("", "ascii only", "naïve café", "日本語テキスト", "🙂🙂",
+      "a😀b", "\ud800 lone high", "\udc00 lone low", "mixed 中文 π ©",
+      "߿ࠀ￿")
+    for (s <- samples) assert(hashText(s) == viaBytes(s), s"for: $s")
+    for (_ <- 1 to 300) {
+      val s = (1 to rnd.nextInt(80)).map(_ => rnd.nextInt(0xd000).toChar).mkString
+      assert(hashText(s) == viaBytes(s))
+    }
+  }
+
+  test("stripedFromRows ≡ literal rstrip+split reference on trailing-whitespace blocks") {
+    def reference(htmlStr: String): String = { // the pre-optimization code
+      val temp = Py.rstrip(htmlStr)
+      val kept = Vector.newBuilder[String]
+      for (row <- temp.split("\n", -1)) {
+        val r = Py.rstrip(row)
+        if (r.length >= 7 && r.startsWith("<!--") && r.endsWith("-->")) {
+          if (Py.pyMatch("^<!--.*(-->.*<!--)+.*-->$", r)) kept += r
+          else if (Py.pyMatch("^<!--.*-->$", r)) ()
+          else kept += r
+        } else kept += r
+      }
+      kept.result().mkString("\n")
+    }
+    val rows = Seq("<html>", "<!-- c -->", "text  ", "", "   ", "\t",
+      "<!-- a --><!-- b -->", "last")
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(8)
+      val block = (1 to n).map(_ => rows(rnd.nextInt(rows.size))).mkString("\n") +
+        ("\n" * rnd.nextInt(3)) + (" " * rnd.nextInt(3))
+      assert(HttpFeatures.stripedHtmlStr(block) == reference(block),
+        s"for: ${block.replace("\n", "\\n")}")
+    }
+    assert(HttpFeatures.stripedHtmlStr("") == reference(""))
+    assert(HttpFeatures.stripedHtmlStr("   \n  \n") == reference("   \n  \n"))
+  }
+
   test("stripedHtmlStr comment guard preserves drop/keep decisions") {
     val block = Seq(
       "<html>", "<!-- dropped comment -->", "<!-- kept --><!-- multi -->",
