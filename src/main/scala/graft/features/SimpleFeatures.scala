@@ -148,9 +148,12 @@ object HostFeatures {
 object NslookupFeatures {
   val size = 3
 
-  def canonicalNames(nslookupStr: String): Set[String] = {
+  def canonicalNames(nslookupStr: String): Set[String] =
+    canonicalNames(nslookupStr.split("\n", -1))
+
+  private def canonicalNames(rows: Array[String]): Set[String] = {
     val names = Set.newBuilder[String]
-    for (s <- nslookupStr.split("\n", -1)) {
+    for (s <- rows) {
       // `^.*canonical name = .*$` over a single line ≡ substring presence
       if (s.contains("canonical name = ")) {
         val last = Py.pySplit(s, " ").last
@@ -160,8 +163,11 @@ object NslookupFeatures {
     names.result()
   }
 
-  def getSerial(nslookupStr: String): Option[String] = {
-    for (row <- nslookupStr.split("\n", -1)) {
+  def getSerial(nslookupStr: String): Option[String] =
+    getSerial(nslookupStr.split("\n", -1))
+
+  private def getSerial(rows: Array[String]): Option[String] = {
+    for (row <- rows) {
       if (row.indexOf(" = ") > 0) {
         val parts = Py.pySplit(Py.rstrip(Py.strip(row)), " = ")
         if (parts.length >= 2 && parts(0).toLowerCase == "serial") return Some(parts(1))
@@ -206,10 +212,10 @@ object NslookupFeatures {
 
   def extract(blocks: Seq[String], asOfEpochSeconds: Long): Vector[Double] = {
     if (blocks.isEmpty) return Vector(0.0, 0.0, 0.0)
-    val b = blocks.last
-    val serial = getSerial(b)
+    val rows = blocks.last.split("\n", -1) // one split feeds both scans
+    val serial = getSerial(rows)
     Vector(
-      if (isAlias(b)) 1.0 else 0.0,
+      if (canonicalNames(rows).nonEmpty) 1.0 else 0.0,
       if (isWeirdSerial(serial)) 1.0 else 0.0,
       dayAge(serial, asOfEpochSeconds).toDouble)
   }

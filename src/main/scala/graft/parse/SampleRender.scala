@@ -106,48 +106,67 @@ object SampleRender {
     * [[renderWithBlocks]]. */
   private def sentinelFree(s: String): Boolean = s.indexOf("<=") < 0
 
-  /** Payload of one rendered block string
-    * (`"\n<=KEY BEGIN=>\n" + payload + "\n<=KEY END=>\n"`): everything
-    * between the BEGIN line's newline and the END sentinel's `<=`. Only
-    * called on sentinel-free payloads, where `lastIndexOf("<=")` IS the
-    * END sentinel. */
-  private def payloadOf(blockStr: String): String = {
-    val i1 = blockStr.indexOf("=>\n") + 3
-    val i2 = blockStr.lastIndexOf("<=")
-    blockStr.substring(i1, i2)
-  }
-
   /** [[render]] that ALSO returns the block split of the rendered text —
     * `Some(data)` exactly when every payload is provably sentinel-free,
     * in which case `data == Blocks.splitText(text)` (property-tested in
-    * CoreSpec). The extract hot path then skips re-scanning the text it
-    * just assembled; a payload containing `<=` (e.g. a JS `<=` operator
-    * in the body) returns None and the caller falls back to
-    * [[graft.parse.Blocks.splitText]] — the reference's re-split quirks
-    * (nesting, NSLOOKUPSUMMARY) only fire on sentinel-shaped payload
-    * lines, which the guard excludes. */
+    * FastPathSpec; the byte-identity of `text` itself is independently
+    * pinned by the golden `text` fixtures in CrawlSpec). The extract hot
+    * path then skips re-scanning the text it just assembled; a payload
+    * containing `<=` (e.g. a JS `<=` operator in the body) returns None
+    * and the caller falls back to [[graft.parse.Blocks.splitText]] — the
+    * reference's re-split quirks (nesting, NSLOOKUPSUMMARY) only fire on
+    * sentinel-shaped payload lines, which the guard excludes.
+    *
+    * Blocks are emitted as (sentinel, payloadCore) pieces appended
+    * straight into one builder — the wrapped block string
+    * `"\n<=KEY BEGIN=>\n" + payloadCore + "\n<=KEY END=>\n"` is never
+    * materialized, so the page body is copied once (into the final
+    * text), not three times. The block-split payload for the map is
+    * `payloadCore + "\n"` (the END sentinel's leading newline belongs to
+    * the payload's last line). */
   def renderWithBlocks(url: String, content: String, net: NetInfo,
       redirectCycleTimes: Int = 2): (String, Option[Blocks.BlockData]) = {
-    val sb = new StringBuilder
-    sb ++= url + "\n"
+    val sb = new java.lang.StringBuilder
+    sb.append(url).append('\n')
     var clean = url.indexOf('\n') < 0 && sentinelFree(url)
     val blocks = mutable.LinkedHashMap.empty[String, Vector[String]]
-    def add(key: String, blockStr: String): Unit = {
-      sb ++= blockStr
+    // http payload shared across history-hop re-writes (same object)
+    lazy val httpPayload = content + "\n"
+    def add(key: String, sentinel: String, payloadCore: String, payload: => String): Unit = {
+      sb.append("\n<=").append(sentinel).append(" BEGIN=>\n")
+      sb.append(payloadCore)
+      sb.append("\n<=").append(sentinel).append(" END=>\n")
       if (clean) {
-        val payload = payloadOf(blockStr)
-        if (sentinelFree(payload))
+        if (sentinelFree(payloadCore))
           blocks(key) = blocks.getOrElse(key, Vector.empty) :+ payload
         else clean = false
       }
     }
+    def addSmall(key: String, sentinel: String, payloadCore: String): Unit =
+      add(key, sentinel, payloadCore, payloadCore + "\n")
     val walk = cycleWalk(net.finalHop.url, net.history.map(_.url), redirectCycleTimes)
-    if (walk.isCycle) add("cycling", redirectWarning(walk.counts))
-    add("nslookup", nslookupBlock(net.nslookupSoaOut, net.nslookupOut))
-    add("host", hostBlock(net.hostOut))
-    add("whois", whoisBlock(net.whoisOut))
+    if (walk.isCycle) {
+      // redirectWarning minus its sentinel wrapper (keeps the helper's
+      // exact line layout: "Cycle Redirect times:" then k:v lines, each
+      // newline-terminated — the END sentinel's own leading \n is added
+      // by the wrapper, reproducing the empty line before <=... END=>)
+      val w = new java.lang.StringBuilder("Cycle Redirect times:\n")
+      for ((k, v) <- walk.counts) w.append(k).append(':').append(v).append('\n')
+      addSmall("cycling", "CYCLING REDIRECT WARNING", w.toString)
+    }
+    addSmall("nslookup", "NSLOOKUP", net.nslookupSoaOut + "\n" + net.nslookupOut)
+    addSmall("host", "HOST", net.hostOut)
+    addSmall("whois", "WHOIS", net.whoisOut)
+    def headerCore(hop: HeaderHop): String = {
+      // status line + header lines, EACH newline-terminated (the empty
+      // line before <=HEADER END=> comes from the wrapper's own \n)
+      val h = new java.lang.StringBuilder
+      h.append("HTTP/%.1f %d %s\n".formatLocal(java.util.Locale.ROOT,
+        hop.version / 10.0, hop.status, hop.reason))
+      for ((k, v) <- hop.headers) h.append(k).append(": ").append(v).append('\n')
+      h.toString
+    }
     // download_file: history re-walk under the cycle-walk budget
-    lazy val mainContent = contentBlock(content) // built once, written per hop
     if (net.history.nonEmpty) {
       val budget = walk.counts
       var break = false
@@ -155,16 +174,16 @@ object SampleRender {
         budget.get(hop.url) match {
           case Some(c) if c > 0 =>
             budget(hop.url) = c - 1
-            add("header", headerBlock(hop))
-            add("http", mainContent)
+            addSmall("header", "HEADER", headerCore(hop))
+            add("http", "HTTP", content, httpPayload)
           case _ => break = true
         }
       }
     }
-    add("header", headerBlock(net.finalHop))
-    add("http", mainContent)
-    add("timer", timerBlock(net.timerSeconds))
-    val text = sb.result()
+    addSmall("header", "HEADER", headerCore(net.finalHop))
+    add("http", "HTTP", content, httpPayload)
+    addSmall("timer", "TIMER", Py.str12g(net.timerSeconds) + "\n")
+    val text = sb.toString
     (text, if (clean) Some(Blocks.BlockData(url + "\n", blocks.toMap)) else None)
   }
 

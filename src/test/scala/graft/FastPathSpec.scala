@@ -138,9 +138,38 @@ class FastPathSpec extends AnyFunSuite {
         Seq(redirHop, redirHop, redirHop, redirHop), 2.0),
       // net text containing "<=" → fallback
       NetInfo("soa with js a <= b", "ns", "host", "whois", hop, Nil, 0.1))
+    // the pre-optimization render: block-helper concatenation (the
+    // helpers are byte-pinned by SampleRenderSpec goldens)
+    def referenceRender(url: String, content: String, net: NetInfo): String = {
+      val sb = new StringBuilder
+      sb ++= url + "\n"
+      val walk = SampleRender.cycleWalk(net.finalHop.url, net.history.map(_.url), 2)
+      if (walk.isCycle) sb ++= SampleRender.redirectWarning(walk.counts)
+      sb ++= SampleRender.nslookupBlock(net.nslookupSoaOut, net.nslookupOut)
+      sb ++= SampleRender.hostBlock(net.hostOut)
+      sb ++= SampleRender.whoisBlock(net.whoisOut)
+      if (net.history.nonEmpty) {
+        val budget = walk.counts
+        var break = false
+        for (hop <- net.history if !break) {
+          budget.get(hop.url) match {
+            case Some(c) if c > 0 =>
+              budget(hop.url) = c - 1
+              sb ++= SampleRender.headerBlock(hop)
+              sb ++= SampleRender.contentBlock(content)
+            case _ => break = true
+          }
+        }
+      }
+      sb ++= SampleRender.headerBlock(net.finalHop)
+      sb ++= SampleRender.contentBlock(content)
+      sb ++= SampleRender.timerBlock(net.timerSeconds)
+      sb.result()
+    }
     for (net <- nets; content <- contents) {
       val (text, direct) = SampleRender.renderWithBlocks("http://t.example/page", content, net)
-      assert(text == SampleRender.render("http://t.example/page", content, net))
+      assert(text == referenceRender("http://t.example/page", content, net),
+        s"rendered text diverges from block-helper concatenation for content=$content")
       val expected = Blocks.splitText(text)
       direct match {
         case Some(d) =>
