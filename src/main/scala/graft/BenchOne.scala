@@ -17,7 +17,8 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-one-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "3").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
