@@ -63,10 +63,20 @@ object Bench {
   private val partsPerCore =
     sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "3").toInt
 
+  /** Fixed data-partition count override (SPARK_GRAFT_CRAWL_PARTS). The
+    * scaling forks set it to 3 × the WINDOW'S LARGER core count for both
+    * levels of an N→4N pair: a deployment partitions for its full
+    * cluster and does not re-layout the data when the job lands on a
+    * smaller one, so per-level 3×own-cores would flatter the small leg
+    * (an optimal layout it would not really get) and deflate the ratio. */
+  private val fixedParts: Option[Int] =
+    sys.env.get("SPARK_GRAFT_CRAWL_PARTS").map(_.toInt)
+
   def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame,
       rep: Int = seedRep): (Long, Double) = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-").toString
-    val parts = spark.sparkContext.defaultParallelism * partsPerCore
+    val parts = fixedParts.getOrElse(
+      spark.sparkContext.defaultParallelism * partsPerCore)
     val pages = pagesIn
       .repartition(parts, org.apache.spark.sql.functions.col("url")).cache()
     pages.count()
@@ -225,7 +235,7 @@ object Bench {
           30, java.util.concurrent.TimeUnit.SECONDS)
         catch { case _: Throwable => () }
 
-        def runAt(cpus: Int): (Long, Double) = {
+        def runAt(cpus: Int, dataParts: Int): (Long, Double) = {
           val javaBin = System.getProperty("java.home") + "/bin/java"
           val opens = Seq(
             "java.base/java.lang", "java.base/java.lang.invoke",
@@ -249,6 +259,9 @@ object Bench {
             "-cp", System.getProperty("java.class.path"),
             "graft.BenchOne", sfDir, cpus.toString, rep.toString, fix)
           val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+          // both levels of a window run the SAME data layout, sized for
+          // the window's larger level (see fixedParts doc)
+          pb.environment().put("SPARK_GRAFT_CRAWL_PARTS", dataParts.toString)
           val proc = pb.start()
           // drain concurrently (a full pipe would deadlock the child)
           val outF = Future(new String(proc.getInputStream.readAllBytes()))
@@ -278,8 +291,8 @@ object Bench {
         // per-core-count best across all runs; interleaving means host
         // noise drift hits the levels of a pair symmetrically
         val best = scala.collection.mutable.Map[Int, (Long, Double)]()
-        def measure(c: Int): Unit = {
-          val r = runAt(c)
+        def measure(c: Int, dataParts: Int): Unit = {
+          val r = runAt(c, dataParts)
           best(c) = best.get(c).map(better(_, r)).getOrElse(r)
         }
         def tOf(c: Int): Double = best.get(c).map(_._2).getOrElse(Double.NaN)
@@ -309,7 +322,8 @@ object Bench {
         // kill lands, the last line carries the best evidence so far
         var runs = 0
         for (w <- windows) {
-          measure(w); measure(4 * w)
+          val wParts = partsPerCore * 4 * w
+          measure(w, wParts); measure(4 * w, wParts)
           runs = 1
           println(line(gateJson(gate, runs, other.map(altJson).mkString)))
         }
@@ -322,7 +336,8 @@ object Bench {
         }
         while (runs < 3 && remaining > pairCost) {
           val w = gate
-          measure(w); measure(4 * w)
+          val wParts = partsPerCore * 4 * w
+          measure(w, wParts); measure(4 * w, wParts)
           runs += 1
           println(line(gateJson(gate, runs, other.map(altJson).mkString)))
         }

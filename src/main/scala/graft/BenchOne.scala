@@ -17,8 +17,13 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-one-$cpus")
+      // SPARK_GRAFT_CRAWL_PARTS (set by Bench's scaling forks): both
+      // levels of an N->4N window run the SAME layout, sized for the
+      // larger level — a deployment does not re-partition its data when
+      // the job lands on a smaller cluster
       .config("spark.sql.shuffle.partitions",
-        cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "3").toInt)
+        sys.env.get("SPARK_GRAFT_CRAWL_PARTS").map(_.toInt).getOrElse(
+          cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "3").toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
