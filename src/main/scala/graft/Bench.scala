@@ -72,6 +72,43 @@ object Bench {
   private val fixedParts: Option[Int] =
     sys.env.get("SPARK_GRAFT_CRAWL_PARTS").map(_.toInt)
 
+  /** Driver-loop C2 warmup of the per-URL pipeline (synth → decode →
+    * liveness → render → block split → extract → fingerprint). A fresh
+    * fork's sf0.001 warmup crawl leaves these hot loops short of C2's
+    * invocation thresholds, and the deficit is then paid inside the
+    * first timed wave — a near-constant number of seconds at EVERY core
+    * count, i.e. pure ratio poison for the scaling gate. ~15k synthetic
+    * URLs take a few seconds, outside every timed window; `threads`
+    * spreads the loop over the fork's pinned cores (JIT state is
+    * JVM-global, so any thread's invocations count).
+    * Returns a checksum so the loop cannot be dead-code-eliminated. */
+  private[graft] def warmExtract(iters: Int = 15000, threads: Int = 1): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    def run(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val url = s"http://w${i % 499}.bench${i % 7}.example/p/${i % 37}/page${i % 11}.html"
+        graft.fixtures.Fixtures.pageFor(url).foreach { p =>
+          val row = CrawlWave.FetchRow(i.toLong, url,
+            graft.urls.Canonicalize.crawlerDomain(url), 0, i.toLong,
+            Some(p.warc_ts), Some(p.html),
+            Option(p.text).map(CrawlWave.hashText))
+          val o = CrawlWave.fetchOutcome(row, withLinks = false)
+          acc.addAndGet(if (o.ok) o.text.length else 1)
+        }
+        i += 1
+      }
+    }
+    val n = math.max(1, threads)
+    val per = (iters + n - 1) / n
+    val ts = (0 until n).map { k =>
+      val t = new Thread(() => run(k * per, math.min(iters, (k + 1) * per)))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    acc.get()
+  }
+
   def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame,
       rep: Int = seedRep): (Long, Double) = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-").toString

@@ -44,6 +44,10 @@ object BenchOne {
     // ~30 s per 2-core fork, which starved the interleaved repeats out
     // of the driver's bench budget under host noise
     Bench.crawlRun(spark, "/root/testdata/sf0.001", rep = 1)
+    // drive the per-URL extract pipeline to C2 before the timed run —
+    // the tiny crawl above warms Spark's machinery but not the hot
+    // loops' invocation counts (see Bench.warmExtract)
+    Bench.warmExtract(threads = cpus)
     val (urls, sec) = fixtureDir match {
       case Some(d) => Bench.crawlRunOn(spark,
         spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), rep)

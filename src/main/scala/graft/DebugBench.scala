@@ -23,9 +23,11 @@ object DebugBench {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       println("warmup done")
     }
+    // match the bench scaling forks' layout when set (see Bench.fixedParts)
+    val parts = sys.env.get("SPARK_GRAFT_CRAWL_PARTS").map(_.toInt).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -77,14 +79,14 @@ object DebugBench {
     spark.sparkContext.addSparkListener(acct)
     val root = java.nio.file.Files.createTempDirectory("graft-dbg-").toString
     val pages = Fixtures.pages(spark, dir, rep).toDF
-      .repartition(cpus, org.apache.spark.sql.functions.col("url")).cache()
+      .repartition(parts, org.apache.spark.sql.functions.col("url")).cache()
     println(s"pages=${pages.count()}")
     val seeds = Fixtures.seeds(spark, dir, rep)
-      .repartition(cpus, org.apache.spark.sql.functions.col("url")).cache()
+      .repartition(parts, org.apache.spark.sql.functions.col("url")).cache()
     println(s"seeds=${seeds.count()}")
     val store = new SnapshotTable(spark, root)
     val cw = new CrawlWave(spark, pages, store, CrawlWave.Config(
-      wavePeriodMs = 600000L * rep, partitions = cpus, repartitionPages = false,
+      wavePeriodMs = 600000L * rep, partitions = parts, repartitionPages = false,
       pipelineCommits = !sys.env.get("SPARK_GRAFT_PIPELINE").contains("0")))
     val t0 = System.nanoTime()
     var t = t0
