@@ -43,7 +43,8 @@ object BenchOne {
     // wave anyway — the timed runs are 100+ s); sf0.01 warmup cost
     // ~30 s per 2-core fork, which starved the interleaved repeats out
     // of the driver's bench budget under host noise
-    Bench.crawlRun(spark, "/root/testdata/sf0.001", rep = 1)
+    Bench.crawlRun(spark,
+      sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001"), rep = 1)
     // drive the per-URL extract pipeline to C2 before the timed run —
     // the tiny crawl above warms Spark's machinery but not the hot
     // loops' invocation counts (see Bench.warmExtract)
