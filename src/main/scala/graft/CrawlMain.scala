@@ -1,0 +1,107 @@
+package graft
+
+import graft.jobs.CrawlWave
+import graft.store.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Production entrypoint: the crawl engine as a spark-submit job
+  * (north rule: "runs via spark-submit on a multi-executor cluster").
+  *
+  *   spark-submit --class graft.CrawlMain spiderspark.jar \
+  *     --pages  <parquet/iceberg path: url,warc_ts,html,text,lang> \
+  *     --seeds  <parquet path: seq,url[,priority]> \
+  *     --store  <snapshot-store root (resume = same path)> \
+  *     [--partitions N] [--wave-period-ms MS] [--discover] \
+  *     [--no-robots] [--agent NAME] [--seen-filter bloom|cuckoo] \
+  *     [--scalable-rank] [--fetch-ftp] [--sync-commits]
+  *
+  * The session's master/executors come from spark-submit (no
+  * `.master()` here; local runs pass `-Dspark.master=local[N]`).
+  * `--partitions` should be sized for the FULL cluster (tasks/core ×
+  * total cores); the same layout is reused when the job later runs on
+  * fewer executors. A rerun over an existing non-empty store RESUMES
+  * from its latest committed snapshot (crash/restart safe; every wave
+  * is one atomic commit). Exit summary (waves, URLs done/error,
+  * throughput) is printed from manifest metadata — no extra jobs over
+  * the result tables beyond one final count.
+  */
+object CrawlMain {
+
+  private def usage(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println(
+      "usage: graft.CrawlMain --pages P --seeds S --store DIR " +
+        "[--partitions N] [--wave-period-ms MS] [--discover] [--no-robots] " +
+        "[--agent NAME] [--seen-filter bloom|cuckoo] [--scalable-rank] " +
+        "[--fetch-ftp] [--sync-commits]")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var pages, seeds, store: Option[String] = None
+    var partitions: Option[Int] = None
+    var wavePeriodMs = 1000L
+    var discover, scalableRank, fetchFtp = false
+    var robots = true
+    var pipeline = true
+    var agent = "graftbot"
+    var seenFilter = "bloom"
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--pages" => pages = Some(args(i + 1)); i += 2
+        case "--seeds" => seeds = Some(args(i + 1)); i += 2
+        case "--store" => store = Some(args(i + 1)); i += 2
+        case "--partitions" => partitions = Some(args(i + 1).toInt); i += 2
+        case "--wave-period-ms" => wavePeriodMs = args(i + 1).toLong; i += 2
+        case "--agent" => agent = args(i + 1); i += 2
+        case "--seen-filter" => seenFilter = args(i + 1); i += 2
+        case "--discover" => discover = true; i += 1
+        case "--no-robots" => robots = false; i += 1
+        case "--scalable-rank" => scalableRank = true; i += 1
+        case "--fetch-ftp" => fetchFtp = true; i += 1
+        case "--sync-commits" => pipeline = false; i += 1
+        case other => usage(s"unknown argument: $other")
+      }
+    }
+    val pagesPath = pages.getOrElse(usage("--pages is required"))
+    val seedsPath = seeds.getOrElse(usage("--seeds is required"))
+    val storePath = store.getOrElse(usage("--store is required"))
+
+    val builder = SparkSession.builder().appName("graft-crawl")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = builder.getOrCreate()
+    val parts = partitions.getOrElse(spark.sparkContext.defaultParallelism * 3)
+    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+    val pagesDf = spark.read.parquet(pagesPath)
+    val seedsDf = spark.read.parquet(seedsPath)
+    val snap = new SnapshotTable(spark, storePath)
+    val cw = new CrawlWave(spark, pagesDf, snap, CrawlWave.Config(
+      wavePeriodMs = wavePeriodMs,
+      partitions = parts,
+      robots = robots,
+      agent = agent,
+      seenFilter = seenFilter,
+      discover = discover,
+      scalableRank = scalableRank,
+      fetchFtp = fetchFtp,
+      pipelineCommits = pipeline))
+
+    val resumedFrom = snap.latestVersion
+    val t0 = System.nanoTime()
+    val v = cw.runAll(seedsDf)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val m = snap.metricsOf(v)
+    val frontier = snap.read("frontier", v)
+    val done = frontier.where(col("state") === "done").count()
+    val errs = frontier.where(col("state") === "error").count()
+    println(s"GRAFT_CRAWL version=$v resumed_from=${resumedFrom.getOrElse(-1)} " +
+      s"generations=${m.getOrElse("gen", 0L) + 1} last_wave=${m.getOrElse("wave", -1L)} " +
+      s"done=$done errors=$errs sec=$sec urls_per_sec=${(done + errs) / sec}")
+    spark.stop()
+  }
+}
