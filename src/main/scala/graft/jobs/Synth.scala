@@ -91,10 +91,20 @@ object Synth {
     * differs (Spark `string` ↔ DuckDB `varchar`). */
   def duck(sql: String): String = sql.replace(" as string)", " as varchar)")
 
-  /** Register the parquet tables of one sf dir as temp views. */
+  /** Register the parquet tables of one sf dir as temp views. `orders`
+    * is registered PRE-SPREAD (repartitioned to the session's
+    * parallelism): each sf parquet is one small file = one input split,
+    * and orders feeds the URL-expansion CASE of every seeds consumer —
+    * unspread, that whole expansion runs in a single task. Content is
+    * identical (seq is content-defined), so the shared-dialect SQL and
+    * the DuckDB oracle are unaffected. */
   def views(spark: SparkSession, sfDir: String, tables: Seq[String]): Unit =
     tables.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val out =
+        if (t == "orders") df.repartition(spark.sparkContext.defaultParallelism)
+        else df
+      out.createOrReplaceTempView(t)
     }
 
   /** Seeds DataFrame for one sf dir. */
@@ -108,7 +118,7 @@ object Synth {
     * classes) and zero external data. rep=1 is bit-identical to the
     * oracle-shared seed space. */
   def seeds(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
-    views(spark, sfDir, Seq("orders"))
+    views(spark, sfDir, Seq("orders")) // registered pre-spread (see views)
     if (rep <= 1) spark.sql(seedsSql)
     else {
       spark.sql(
