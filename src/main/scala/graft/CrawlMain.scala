@@ -38,7 +38,13 @@ object CrawlMain {
     sys.exit(2)
   }
 
-  def main(args: Array[String]): Unit = {
+  /** One finished crawl's exit summary (printed by [[main]]). */
+  final case class Summary(version: Int, resumedFrom: Option[Int],
+      generations: Long, lastWave: Long, done: Long, errors: Long, sec: Double)
+
+  /** The crawl run behind [[main]], reusable from tests / other drivers
+    * (does not create or stop the session). */
+  def run(spark: SparkSession, args: Array[String]): Summary = {
     var pages, seeds, store: Option[String] = None
     var partitions: Option[Int] = None
     var wavePeriodMs = 1000L
@@ -69,9 +75,6 @@ object CrawlMain {
     val seedsPath = seeds.getOrElse(usage("--seeds is required"))
     val storePath = store.getOrElse(usage("--store is required"))
 
-    val builder = SparkSession.builder().appName("graft-crawl")
-      .config("spark.sql.session.timeZone", "UTC")
-    val spark = builder.getOrCreate()
     val parts = partitions.getOrElse(spark.sparkContext.defaultParallelism * 3)
     if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
       spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -99,9 +102,18 @@ object CrawlMain {
     val frontier = snap.read("frontier", v)
     val done = frontier.where(col("state") === "done").count()
     val errs = frontier.where(col("state") === "error").count()
-    println(s"GRAFT_CRAWL version=$v resumed_from=${resumedFrom.getOrElse(-1)} " +
-      s"generations=${m.getOrElse("gen", 0L) + 1} last_wave=${m.getOrElse("wave", -1L)} " +
-      s"done=$done errors=$errs sec=$sec urls_per_sec=${(done + errs) / sec}")
+    Summary(v, resumedFrom, m.getOrElse("gen", 0L) + 1,
+      m.getOrElse("wave", -1L), done, errs, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft-crawl")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val s = run(spark, args)
+    println(s"GRAFT_CRAWL version=${s.version} resumed_from=${s.resumedFrom.getOrElse(-1)} " +
+      s"generations=${s.generations} last_wave=${s.lastWave} " +
+      s"done=${s.done} errors=${s.errors} sec=${s.sec} urls_per_sec=${(s.done + s.errors) / s.sec}")
     spark.stop()
   }
 }

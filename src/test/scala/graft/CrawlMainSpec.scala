@@ -1,0 +1,37 @@
+package graft
+
+import graft.fixtures.Fixtures
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark-submit entrypoint ([[CrawlMain.run]]): fresh crawl over
+  * parquet pages/seeds, then a rerun over the same store resumes from
+  * the final snapshot without recrawling. */
+class CrawlMainSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fresh run crawls; rerun resumes from the final snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmain-").toString
+    Fixtures.pages(spark, dir).toDF.write.parquet(s"$tmp/pages")
+    Fixtures.seeds(spark, dir).write.parquet(s"$tmp/seeds")
+    val args = Array(
+      "--pages", s"$tmp/pages", "--seeds", s"$tmp/seeds",
+      "--store", s"$tmp/store", "--partitions", "4",
+      "--wave-period-ms", "600000")
+
+    val s1 = CrawlMain.run(spark, args)
+    assert(s1.resumedFrom.isEmpty)
+    assert(s1.done > 0 && s1.errors > 0)
+    // every SCHEDULED URL (fetchable, deduped, robots-allowed) ends
+    // done or error — w_crawl_order is the oracle-checked schedule
+    val expected = SparkEntry.queries("w_crawl_order")(spark, dir).count()
+    assert(s1.done + s1.errors == expected)
+
+    val s2 = CrawlMain.run(spark, args)
+    assert(s2.resumedFrom.contains(s1.version))
+    assert(s2.version == s1.version) // nothing left to do
+    assert(s2.done == s1.done && s2.errors == s1.errors)
+    Bench.deleteRecursively(tmp)
+  }
+}
