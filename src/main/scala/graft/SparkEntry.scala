@@ -741,6 +741,49 @@ object SparkEntry {
         |  cast(round(inter * 1000000.0 / (sa.sz + sb.sz - inter), 0) as bigint) AS jaccard_micro
         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
 
+    // Connected components over verified near-dup pairs — the
+    // clustering step that completes the dedup pipeline (pairs →
+    // components → keeper = min doc id; drop rule is doc_id !=
+    // cluster_id). Spark side runs the distributed min-label
+    // fixpoint with pointer jumping (Dedup.connectedComponents);
+    // the oracle re-derives the same labels via a recursive-CTE
+    // transitive closure in DuckDB — exact equality, not a bound.
+    // Both sides build the pair graph from the same exact-Jaccard
+    // SQL (integer counts, one double divide ⇒ bitwise-identical
+    // threshold test in both engines).
+    "dedup_components" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        Dedup.connectedComponents(s.sql(
+          """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            |g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+            |      FROM sub LATERAL VIEW explode(sequence(1, greatest(length(text) - 4, 1))) sq AS i),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            |SELECT a_id, b_id
+            |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+            |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.24""".stripMargin))
+      },
+      Some(
+        """WITH RECURSIVE
+          |sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          |x AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i FROM sub),
+          |g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM x),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |pairs AS (SELECT a_id, b_id
+          |          FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          |          WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.24),
+          |e AS (SELECT a_id AS id, b_id AS nb FROM pairs
+          |      UNION SELECT b_id AS id, a_id AS nb FROM pairs),
+          |reach(id, nb) AS (
+          |  SELECT DISTINCT id AS id, id AS nb FROM e
+          |  UNION
+          |  SELECT r.id, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.id)
+          |SELECT id AS doc_id, min(nb) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
+
     // MinHash+LSH with the PORTABLE md5 signature (16 hashes = 4×4
     // bands): the oracle recomputes the same signatures, the same
     // shared-full-band candidate rule and the same slot-agreement

@@ -101,6 +101,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("connected components: min-id labels match brute-force union-find") {
+    import spark.implicits._
+    // deterministic pseudo-random graph + a long chain (exercises the
+    // multi-round propagation path) + isolated pair
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val pairs = (randomPairs ++ chain :+ ((500L, 501L))).distinct
+    val got = Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize union-find roots to the min member of each set
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val minOfRoot = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
+    val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
+    assert(got == want)
+    // every cluster keeper is its own cluster id
+    assert(got.filter { case (id, c) => id == c }.keySet == got.values.toSet)
+  }
+
   test("winnowing fingerprints are stable under distant edits") {
     val a = TextAnalysis.winnow(base * 10).toSet
     val b = TextAnalysis.winnow(base * 10 + " changed ending here").toSet
