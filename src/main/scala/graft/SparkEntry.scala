@@ -958,6 +958,40 @@ object SparkEntry {
            |SELECT query_id, cand_id, rank, cast(round(cosine * 1000000, 0) as bigint) AS cosine_micro
            |FROM r WHERE rank <= 10""".stripMargin)),
 
+    // IVF-flat ANN (third tier): centroids = the deterministic
+    // vec_id%25 corpus sample, every vector assigned to its nearest
+    // centroid by a row-local fold, queries search their 3 nearest
+    // cells exactly. Oracle re-derives cells, probing and the exact
+    // per-cell top-k — same cosine fold order, exact equality.
+    "ann_ivf_topk" -> Q(
+      (s, dir) => {
+        reg(s, dir)
+        val e = s.table("embeddings")
+        Ann.ivfTopK(e, e.where(col("vec_id") % 100 === 0), k = 10,
+          centroidMod = 25, nProbe = 3)
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+          |asg AS (SELECT e.vec_id, e.v, cent.cid,
+          |          row_number() OVER (PARTITION BY e.vec_id
+          |            ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+          |        FROM e, cent),
+          |cells AS (SELECT vec_id AS cand_id, v AS cv2, cid AS cell FROM asg WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+          |probe AS (SELECT q.query_id, q.qv, cent.cid,
+          |            row_number() OVER (PARTITION BY q.query_id
+          |              ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+          |          FROM q, cent),
+          |pr AS (SELECT query_id, qv, cid AS cell FROM probe WHERE rn <= 3),
+          |sim AS (SELECT query_id, cand_id, list_cosine_similarity(qv, cv2) AS cosine
+          |        FROM pr JOIN cells USING (cell) WHERE query_id <> cand_id),
+          |r AS (SELECT query_id, cand_id, cosine,
+          |        cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) as int) AS rank
+          |      FROM sim)
+          |SELECT query_id, cand_id, rank, cast(round(cosine * 1000000, 0) as bigint) AS cosine_micro
+          |FROM r WHERE rank <= 10""".stripMargin)),
+
     // ---------------- text analysis family
     "lang_id" -> Q(
       (s, dir) => { reg(s, dir); TextAnalysis.langId(s.table("documents")) },

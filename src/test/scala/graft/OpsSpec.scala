@@ -80,6 +80,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(pairs(Ann.bruteForceTopK(e, q, k = e.count().toInt))))
   }
 
+  test("IVF ANN: probe-all degrades to exact brute force; nProbe<C keeps recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val brute = rows(Ann.bruteForceTopK(e, q, k = 5))
+    // centroidMod=10 → C = |corpus|/10 cells; probing every cell must
+    // reproduce brute force EXACTLY (ranks and micro-cosines included)
+    val nCells = e.where(col("vec_id") % 10 === 0).count().toInt
+    assert(rows(Ann.ivfTopK(e, q, k = 5, centroidMod = 10, nProbe = nCells)) == brute)
+    // the approximate setting: hits must be a subset of the full exact
+    // ranking, with usable recall of the true top-5
+    def pairs(s: Set[(Long, Long, Int, Long)]) = s.map(t => (t._1, t._2))
+    val ivf = pairs(rows(Ann.ivfTopK(e, q, k = 5, centroidMod = 10, nProbe = 3)))
+    val recall = (pairs(brute) intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall=$recall")
+    assert(ivf.subsetOf(pairs(rows(Ann.bruteForceTopK(e, q, k = e.count().toInt)))))
+  }
+
   test("embedding near-dup: LSH path has precision 1.0 and high recall on injected dups") {
     import spark.implicits._
     // real embeddings + deterministic near-duplicates (tiny perturbation
