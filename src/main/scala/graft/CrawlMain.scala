@@ -28,15 +28,15 @@ import org.apache.spark.sql.functions.col
   */
 object CrawlMain {
 
-  private def usage(msg: String): Nothing = {
-    System.err.println(s"error: $msg")
-    System.err.println(
-      "usage: graft.CrawlMain --pages P --seeds S --store DIR " +
-        "[--partitions N] [--wave-period-ms MS] [--discover] [--no-robots] " +
-        "[--agent NAME] [--seen-filter bloom|cuckoo] [--scalable-rank] " +
-        "[--fetch-ftp] [--sync-commits]")
-    sys.exit(2)
-  }
+  private val usageText =
+    "usage: graft.CrawlMain --pages P --seeds S --store DIR " +
+      "[--partitions N] [--wave-period-ms MS] [--discover] [--no-robots] " +
+      "[--agent NAME] [--seen-filter bloom|cuckoo] [--scalable-rank] " +
+      "[--fetch-ftp] [--sync-commits]"
+
+  /** Argument errors THROW (so [[run]] stays embeddable in tests and
+    * other drivers); only [[main]] turns them into usage + exit 2. */
+  private def bad(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   /** One finished crawl's exit summary (printed by [[main]]). */
   final case class Summary(version: Int, resumedFrom: Option[Int],
@@ -54,29 +54,39 @@ object CrawlMain {
     var agent = "graftbot"
     var seenFilter = "bloom"
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) bad(s"$flag needs a value")
+      args(i + 1)
+    }
+    def numValue(flag: String): Long =
+      try value(flag).toLong
+      catch { case _: NumberFormatException => bad(s"$flag needs a number, got '${args(i + 1)}'") }
     while (i < args.length) {
       args(i) match {
-        case "--pages" => pages = Some(args(i + 1)); i += 2
-        case "--seeds" => seeds = Some(args(i + 1)); i += 2
-        case "--store" => store = Some(args(i + 1)); i += 2
-        case "--partitions" => partitions = Some(args(i + 1).toInt); i += 2
-        case "--wave-period-ms" => wavePeriodMs = args(i + 1).toLong; i += 2
-        case "--agent" => agent = args(i + 1); i += 2
-        case "--seen-filter" => seenFilter = args(i + 1); i += 2
+        case "--pages" => pages = Some(value("--pages")); i += 2
+        case "--seeds" => seeds = Some(value("--seeds")); i += 2
+        case "--store" => store = Some(value("--store")); i += 2
+        case "--partitions" => partitions = Some(numValue("--partitions").toInt); i += 2
+        case "--wave-period-ms" => wavePeriodMs = numValue("--wave-period-ms"); i += 2
+        case "--agent" => agent = value("--agent"); i += 2
+        case "--seen-filter" => seenFilter = value("--seen-filter"); i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
         case "--scalable-rank" => scalableRank = true; i += 1
         case "--fetch-ftp" => fetchFtp = true; i += 1
         case "--sync-commits" => pipeline = false; i += 1
-        case other => usage(s"unknown argument: $other")
+        case other => bad(s"unknown argument: $other")
       }
     }
-    val pagesPath = pages.getOrElse(usage("--pages is required"))
-    val seedsPath = seeds.getOrElse(usage("--seeds is required"))
-    val storePath = store.getOrElse(usage("--store is required"))
+    val pagesPath = pages.getOrElse(bad("--pages is required"))
+    val seedsPath = seeds.getOrElse(bad("--seeds is required"))
+    val storePath = store.getOrElse(bad("--store is required"))
 
     val parts = partitions.getOrElse(spark.sparkContext.defaultParallelism * 3)
-    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+    // getOption can't distinguish "unset" from the 200 default on a
+    // registered SQL conf — only an explicit spark-submit --conf (or
+    // builder .config) lands in the SparkConf, so check that instead
+    if (!spark.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.shuffle.partitions", parts)
 
     val pagesDf = spark.read.parquet(pagesPath)
@@ -110,7 +120,15 @@ object CrawlMain {
     val spark = SparkSession.builder().appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val s = run(spark, args)
+    val s =
+      try run(spark, args)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}")
+          System.err.println(usageText)
+          spark.stop()
+          sys.exit(2)
+      }
     println(s"GRAFT_CRAWL version=${s.version} resumed_from=${s.resumedFrom.getOrElse(-1)} " +
       s"generations=${s.generations} last_wave=${s.lastWave} " +
       s"done=${s.done} errors=${s.errors} sec=${s.sec} urls_per_sec=${(s.done + s.errors) / s.sec}")

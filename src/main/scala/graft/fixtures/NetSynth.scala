@@ -23,12 +23,7 @@ object NetSynth {
   final case class Synth(net: NetInfo, content: String, contentType: String,
       status: Int, lang: String)
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = graft.ops.PortableHash.mix64(z0)
 
   /** Stable 64-bit hash of a URL (independent of JVM String.hashCode
     * width concerns — explicit fold + finalizer). */

@@ -54,12 +54,7 @@ object Ann {
         (round(col("cosine") * 1e6, 0)).cast("long").as("cosine_micro"))
   }
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = PortableHash.mix64(z0)
 
   /** Deterministic pseudo-gaussian hyperplanes: `nBits` planes of
     * dimension `dim`, components in [-1, 1) from splitmix64. */
@@ -124,6 +119,12 @@ object Ann {
     * of `tables` independent hash tables are scored — the standard
     * recall/cost dial (L tables × b bits). Recall is property-tested
     * against brute force in `OpsSpec`.
+    *
+    * `probes` is a Hamming RADIUS level, not a probe count: ≤1 probes
+    * only the exact bucket; ≥2 additionally probes ALL nBits buckets at
+    * Hamming distance 1 (symmetric radius-1 multi-probe — without
+    * per-plane margins no Hamming-1 neighbor is likelier than another,
+    * so there is no principled "first m probes" order to offer).
     *
     * Scale shape: signatures are a row-local map; the candidate join is
     * keyed by (table, bucket) with near-uniform buckets, then scored
@@ -192,6 +193,12 @@ object Ann {
     * reproducible with no stored model and SQL-replicable for the
     * oracle; a production run may refine them with k-means, which
     * changes cell quality but nothing about this operator's shape.
+    * Contract: some corpus id must satisfy `id % centroidMod == 0`
+    * (ids are assumed non-negative, as everywhere in this module) —
+    * an empty centroid sample means no cells, hence an EMPTY result,
+    * not an error; pick centroidMod ≤ max id (and at scale, pick it
+    * so C = |corpus|/centroidMod stays ~10^4–10^5: broadcast bytes
+    * and the per-row assignment fold are both O(C)).
     *
     * Scale shape (the reason this beats brute at 100 TB):
     *  - the centroid set is packed into ONE row (array of structs,

@@ -37,13 +37,9 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** splitmix64 finalizer — deterministic per-index hash constants. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 finalizer — deterministic per-index hash constants
+    * (shared single copy: [[PortableHash.mix64]]). */
+  private def mix64(z0: Long): Long = PortableHash.mix64(z0)
 
   /** Distinct char k-shingles of a text, each hashed to a Long. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
@@ -127,12 +123,10 @@ object Dedup {
       .where(size(col("members")).between(2, maxBucket))
 
     val pairs = buckets.select(explode(expr(
-      """filter(
-        |  flatten(transform(members, (x, i) ->
-        |    transform(slice(members, i + 2, size(members)), y ->
-        |      struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-        |             x.sig as sa, y.sig as sb)))),
-        |  p -> true)""".stripMargin)).as("p"))
+      """flatten(transform(members, (x, i) ->
+        |  transform(slice(members, i + 2, size(members)), y ->
+        |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+        |           x.sig as sa, y.sig as sb))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 

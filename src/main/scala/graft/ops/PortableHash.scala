@@ -20,6 +20,17 @@ package graft.ops
   */
 object PortableHash {
 
+  /** splitmix64 finalizer — THE fast 64-bit mix every non-portable
+    * operator default derives its constants from (MinHash perms,
+    * SimHash token hashes, LSH planes, fixture synthesis). One copy:
+    * these constants define cross-run signature compatibility. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private val digester = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -81,12 +81,7 @@ object TextAnalysis {
       expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))")
         .cast("long").as("bpe_tokens"))
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = PortableHash.mix64(z0)
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling
     * polynomial hash over char k-grams, minimum per sliding window of

@@ -34,4 +34,13 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(s2.done == s1.done && s2.errors == s1.errors)
     Bench.deleteRecursively(tmp)
   }
+
+  test("argument errors throw (embeddable) instead of exiting the JVM") {
+    def msg(args: String*): String =
+      intercept[IllegalArgumentException](CrawlMain.run(spark, args.toArray)).getMessage
+    assert(msg("--pages", "/p", "--seeds", "/s").contains("--store is required"))
+    assert(msg("--pages", "/p", "--seeds", "/s", "--store").contains("needs a value"))
+    assert(msg("--pages", "/p", "--partitions", "many").contains("needs a number"))
+    assert(msg("--frobnicate").contains("unknown argument"))
+  }
 }
