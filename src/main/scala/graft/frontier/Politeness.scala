@@ -111,10 +111,17 @@ object Politeness {
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", sum(col("__cnt")).over(wCum) - col("__cnt"))
       .drop("__cnt")
+    // join back NULL-SAFE on priority (<=>): a caller-supplied frame
+    // can carry null priorities, which the window form ranks (nulls
+    // first under asc) — a plain equi-join would silently drop them
+    val off2 = offsets.withColumnRenamed("host", "__oh")
+      .withColumnRenamed("priority", "__op")
+      .withColumnRenamed("__chunk", "__oc")
     withChunk.withColumn("__lr", row_number().over(wLocal))
-      .join(offsets, Seq("host", "priority", "__chunk"))
+      .join(off2, col("host") === col("__oh") &&
+        (col("priority") <=> col("__op")) && col("__chunk") === col("__oc"))
       .withColumn("host_rank", (col("__lr") + col("__off")).cast("int"))
-      .drop("__chunk", "__lr", "__off")
+      .drop("__chunk", "__lr", "__off", "__oh", "__op", "__oc")
   }
 
   /** The rows allowed to fetch this wave (relative wave 0). */

@@ -494,7 +494,9 @@ final class CrawlWave(
           // text_len lets every small consumer (metrics, seen delta,
           // frontier delta) prune the text column away entirely — only
           // the samples write ever decodes text again
-          .withColumn("text_len", when(col("ok"), length(col("text"))).otherwise(0L))
+          // octet_length (UTF-8 bytes), not length (chars): this sums
+          // into the lineage metric NAMED text_bytes
+          .withColumn("text_len", when(col("ok"), octet_length(col("text")).cast("long")).otherwise(0L))
           // materialized OFF-HEAP, clustered by wave: each wave's slice
           // reads only its own files (partition pruning), the JVM heap
           // never holds the full crawl's text, and a resumed run reuses
@@ -502,8 +504,16 @@ final class CrawlWave(
           .write.mode("overwrite").partitionBy("wave").parquet(dir)
         java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))
       }
-      // canonical column order (partitionBy moved `wave` to the end)
-      prefetched = spark.read.parquet(dir)
+      // canonical column order (partitionBy moved `wave` to the end).
+      // Schema is pinned from the encoder, not inferred: a generation
+      // whose ready set is EMPTY writes zero parquet files and schema
+      // inference would throw — with an explicit schema the read-back
+      // is just an empty frame and the drain path proceeds normally.
+      val scratchSchema = org.apache.spark.sql.types.StructType(
+        implicitly[org.apache.spark.sql.Encoder[CrawlWave.OutcomeK]].schema
+          .fields :+ org.apache.spark.sql.types.StructField(
+            "text_len", org.apache.spark.sql.types.LongType))
+      prefetched = spark.read.schema(scratchSchema).parquet(dir)
         .select("seq", "url", "host", "wave", "ok", "err", "text",
           "features", "render_match", "url_hash", "links", "text_len")
     }
@@ -774,7 +784,10 @@ final class CrawlWave(
     Some(committed)
   }
 
-  /** Drive waves to drain (or maxWaves); returns the final version. */
+  /** Drive waves to drain (or maxWaves); returns the final version.
+    * The returned version is always PUBLISHED: the drain path awaits
+    * the pipelined commit inside step(), and the maxWaves-cap exit
+    * awaits it here before returning. */
   def runAll(seeds: DataFrame): Int = {
     var v = init(seeds)
     var k = 0
@@ -785,6 +798,7 @@ final class CrawlWave(
         case None => continue = false
       }
     }
+    awaitPending() // cap exit: the last wave's commit may be in flight
     v
   }
 }

@@ -60,7 +60,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val vs =
       try stream.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
+        // %05d zero-PADS but does not truncate: v100000.json has six
+        // digits, so accept 5+ or versions past 99999 silently vanish
+        .collect { case s if s.matches("v\\d{5,}\\.json") =>
+          s.substring(1, s.length - 5).toInt }
         .toSeq
       finally stream.close()
     if (vs.isEmpty) None else Some(vs.max)

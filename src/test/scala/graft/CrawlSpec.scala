@@ -208,6 +208,15 @@ class CrawlSpec extends AnyFunSuite {
         .select("seq", "host_rank").as[(Long, Int)].collect().toMap
       assert(got == expected, s"two-phase rank diverged at $parts partitions")
     }
+    // null priorities must rank exactly like the window form (nulls
+    // first under asc) — the join-back is null-safe, not row-dropping
+    val dfN = df.withColumn("priority",
+      when(col("priority") === 2, lit(null).cast("int")).otherwise(col("priority")))
+    val expectedN = dfN.withColumn("host_rank", row_number().over(w))
+      .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+    val gotN = Politeness.withTwoPhaseHostRank(dfN.repartition(3))
+      .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+    assert(gotN == expectedN, "two-phase rank dropped/misranked null priorities")
   }
 
   test("scalableRank crawl produces the identical frontier") {
@@ -303,6 +312,37 @@ class CrawlSpec extends AnyFunSuite {
     // discovered pages are all fetch misses → no gen-2 plan was committed
     assert(discStore.metricsOf(discStore.latestVersion.get)
       .getOrElse("gen", -1L) == 1L)
+  }
+
+  test("discovery over an all-dropped seed set drains cleanly (empty prefetch read-back)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-empty-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF
+    // every seed is dropped at plan time: no ready rows, max_wave = -1,
+    // and the discover branch still tries to plan generation 1 over the
+    // (zero-file) prefetch scratch — must drain, not crash on inference
+    val seeds = Seq((0L, "http://a.example.com/pic.jpg"),
+                    (1L, "ftp://b.example.com/file.txt")).toDF("seq", "url")
+    val v = new CrawlWave(spark, pages, st, cfg(4).copy(discover = true)).runAll(seeds)
+    val f = st.read("frontier", v)
+    assert(f.count() == 2)
+    assert(f.where(col("state").startsWith("dropped")).count() == 2)
+  }
+
+  test("pipelined commit is published when runAll exits on the maxWaves cap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-cap-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val v = new CrawlWave(spark, pages, st,
+      cfg(4).copy(pipelineCommits = true, maxWaves = 2))
+      .runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    // the cap exit awaits the in-flight commit: the returned version
+    // must already be PUBLISHED (manifest on disk, latest tracks it)
+    assert(st.latestVersion.contains(v))
+    assert(st.manifest(v).nonEmpty)
   }
 
   test("discovery: resume mid-generation-1 converges to the identical final state") {

@@ -23,6 +23,17 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.manifest(1).contains("\"k\": 7"))
   }
 
+  test("latestVersion sees versions past 99999 (%05d pads, never truncates)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-big-").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")))
+    val manifests = java.nio.file.Paths.get(root, "manifests")
+    java.nio.file.Files.copy(manifests.resolve("v00001.json"),
+      manifests.resolve("v100000.json"))
+    assert(st.latestVersion.contains(100000))
+  }
+
   test("append tables accumulate deltas across versions; time travel works") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
