@@ -114,7 +114,13 @@ object SparkEntry {
     * evaluates `hosted` ONCE into a cached view and runs the window SQL
     * on top. DuckDB (which materializes CTE steps) keeps the original
     * full-CTE oracle text — semantics identical. */
+  private val hostedBuilt =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)](null)
+
   private def hostedView(s: SparkSession, dir: String): Unit = {
+    // memoized per (session, dir) like the engine roots: four schedule
+    // queries share this, and each build eagerly checkpoints two stages
+    if (hostedBuilt.get() == ((s, dir))) return
     reg(s, dir)
     // stage 1: evaluate the seeds CASE once; localCheckpoint is a HARD
     // lineage barrier (plain cache substitution does not reliably stop
@@ -129,6 +135,7 @@ object SparkEntry {
          |SELECT seq, url, priority, host FROM hosted""".stripMargin)
       .localCheckpoint(eager = true)
       .createOrReplaceTempView("hosted_m")
+    hostedBuilt.set((s, dir))
   }
 
   // ----------------------------------------------------------- engine memo
@@ -631,25 +638,13 @@ object SparkEntry {
            |FROM ftpu WHERE NOT ${NetSynth.fetchMissSql("url")}""".stripMargin)))),
 
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
-    "tok_terms" -> split2(
-      """SELECT DISTINCT doc_id, term FROM (
-        |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-        |WHERE term <> ''""".stripMargin,
-      """SELECT DISTINCT doc_id, term FROM (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-        |WHERE term <> ''""".stripMargin),
+    "tok_terms" -> split2(sparkTokSql, duckTokSql),
 
-    "term_df" -> split2(
-      """SELECT term, count(*) AS df FROM (
-        |  SELECT DISTINCT doc_id, term FROM (
-        |    SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-        |  WHERE term <> '') u
-        |GROUP BY term""".stripMargin,
-      """SELECT term, count(*) AS df FROM (
-        |  SELECT DISTINCT doc_id, term FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-        |  WHERE term <> '') u
-        |GROUP BY term""".stripMargin),
+    "term_df" -> {
+      def text(tok: String) =
+        s"SELECT term, count(*) AS df FROM (\n$tok) u\nGROUP BY term"
+      split2(text(sparkTokSql), text(duckTokSql))
+    },
 
     "tfidf_micro" -> {
       def text(tok: String) =
@@ -662,15 +657,7 @@ object SparkEntry {
            |SELECT v.doc_id, v.term,
            |  cast(round(v.idf / m.nrm * 1000000, 0) as bigint) AS tfidf_micro
            |FROM v JOIN nrm m ON v.doc_id = m.doc_id""".stripMargin
-      val sparkTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      val duckTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      split2(text(sparkTok), text(duckTok))
+      split2(text(sparkTokSql), text(duckTokSql))
     },
 
     "term_select" -> {
@@ -683,15 +670,7 @@ object SparkEntry {
            |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
            |mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)
            |SELECT x.term, d.df FROM mx x JOIN df d ON x.term = d.term WHERE x.mx >= 0.5""".stripMargin
-      val sparkTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      val duckTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      split2(text(sparkTok), text(duckTok))
+      split2(text(sparkTokSql), text(duckTokSql))
     },
 
     // J1: title terms × vocabulary membership (broadcast join shape)
@@ -705,15 +684,7 @@ object SparkEntry {
            |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
            |sel AS (SELECT v.term FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term HAVING max(v.idf / m.nrm) >= 0.5)
            |SELECT t.doc_id, count(*) AS vocab_hits FROM tok t JOIN sel s ON t.term = s.term GROUP BY t.doc_id""".stripMargin
-      val sparkTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      val duckTok =
-        """SELECT DISTINCT doc_id, term FROM (
-          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-          |WHERE term <> ''""".stripMargin
-      split2(text(sparkTok), text(duckTok))
+      split2(text(sparkTokSql), text(duckTokSql))
     },
 
     // ---------------- dedup family (pipeline ops)
@@ -1120,9 +1091,7 @@ object SparkEntry {
       Some(
         graft.streaming.EventStream.sessionizeSqlDuck(1800)
           .replace("SELECT user_id, cast(session_id as bigint) AS session_id, count(*) AS n_events,",
-            "SELECT user_id, count(*) AS n_events,")
-          .replace("FROM s GROUP BY user_id, session_id",
-            "FROM s GROUP BY user_id, session_id"))),
+            "SELECT user_id, count(*) AS n_events,"))),
 
     // ---------------- ELM title scoring (§2.9, deterministic seed)
     //

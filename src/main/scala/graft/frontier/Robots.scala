@@ -10,11 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference crawler does not consult robots.txt (spider.py fetches
   * unconditionally), so the robots *semantics* here follow the public
   * REP convention (RFC 9309): rules are grouped under `User-agent`
-  * lines, a URL path is matched against `Allow`/`Disallow` prefixes,
-  * the LONGEST matching prefix wins, `Allow` wins length ties, no
-  * matching rule means allowed, and an empty `Disallow:` value is a
-  * no-op. `Crawl-delay` (a de-facto extension) feeds the token bucket
-  * ([[Politeness]]).
+  * lines, a URL path is matched against `Allow`/`Disallow` patterns
+  * (`*` = any octet sequence, trailing `$` anchors the path end,
+  * §2.2.3), the LONGEST matching pattern wins, `Allow` wins length
+  * ties, no matching rule means allowed, an empty `Disallow:` value is
+  * a no-op, and a matching exact-agent group wins group selection even
+  * when empty. `Crawl-delay` (a de-facto extension) feeds the token
+  * bucket ([[Politeness]]).
   *
   * Scale: the cache is keyed by host — cardinality ~10^7 at the
   * 10^10-URL design point, i.e. a few hundred MB of compiled rules,
@@ -26,17 +28,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Robots {
 
-  /** One path rule; `allow=false` is a Disallow. */
-  final case class Rule(allow: Boolean, prefix: String)
+  /** One path rule; `allow=false` is a Disallow. The value is an RFC
+    * 9309 §2.2.3 PATTERN: a path prefix where `*` matches any octet
+    * sequence and a trailing `$` anchors the end of the path. */
+  final case class Rule(allow: Boolean, prefix: String) {
+    @transient private lazy val anchored: Boolean = prefix.endsWith("$")
+    @transient private lazy val segs: Array[String] =
+      (if (anchored) prefix.substring(0, prefix.length - 1) else prefix)
+        .split("\\*", -1)
+
+    /** Pattern match per RFC 9309 §2.2.3 (greedy segment scan — greedy
+      * is complete here because only existence of a match matters). */
+    def matches(path: String): Boolean = {
+      if (!path.startsWith(segs(0))) return false
+      var pos = segs(0).length
+      var k = 1
+      while (k < segs.length) {
+        val seg = segs(k)
+        val last = k == segs.length - 1
+        if (last && anchored) {
+          if (path.length - seg.length < pos || !path.endsWith(seg)) return false
+          pos = path.length
+        } else if (last && seg.isEmpty) {
+          pos = path.length // trailing '*' swallows the rest
+        } else {
+          val idx = path.indexOf(seg, pos)
+          if (idx < 0) return false
+          pos = idx + seg.length
+        }
+        k += 1
+      }
+      !anchored || pos == path.length
+    }
+  }
 
   /** Compiled rules of one host's robots.txt for our agent. */
   final case class Rules(rules: Vector[Rule], crawlDelayMs: Option[Long]) {
-    /** RFC 9309 §2.2.2: longest matching prefix wins; Allow wins ties;
-      * default allow. */
+    /** RFC 9309 §2.2.2: the most specific (longest-pattern) matching
+      * rule wins; Allow wins ties; default allow. */
     def isAllowed(path: String): Boolean = {
       var bestLen = -1
       var bestAllow = true
-      for (r <- rules if r.prefix.nonEmpty && path.startsWith(r.prefix)) {
+      for (r <- rules if r.prefix.nonEmpty && r.matches(path)) {
         val l = r.prefix.length
         if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
           bestLen = l; bestAllow = r.allow
@@ -76,6 +109,11 @@ object Robots {
           case "user-agent" =>
             if (inRules) { groupAgents = Vector.empty; inRules = false }
             groupAgents :+= value.toLowerCase
+            // RFC 9309 group selection: a matching exact group WINS even
+            // when it ends up empty (e.g. 'User-agent: bot' directly
+            // followed by another group) — mark it at the header, so an
+            // empty exact group yields allow-all, not the '*' fallback
+            if (value.toLowerCase == agentLc) sawExact = true
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty) {

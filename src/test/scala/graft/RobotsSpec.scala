@@ -112,4 +112,49 @@ class RobotsSpec extends AnyFunSuite {
       assert(!rules.isAllowed("/p/3" + suffix))
     }
   }
+
+  test("RFC 9309 §2.2.3 wildcards: * spans octets, trailing $ anchors the end") {
+    def rules(v: String) = Robots.Rules(Vector(Robots.Rule(allow = false, v)), None)
+    // '*' anywhere
+    assert(!rules("/search*").isAllowed("/search?q=x"))
+    assert(!rules("/*.pdf").isAllowed("/docs/a.pdf"))
+    assert(!rules("/*.pdf").isAllowed("/docs/a.pdfx")) // unanchored: prefix-ish
+    assert(rules("/*.pdf").isAllowed("/docs/a.txt"))
+    assert(!rules("/a*b*c").isAllowed("/a-x-b-y-c-z"))
+    assert(rules("/a*b*c").isAllowed("/a-x-c"))
+    // trailing '$'
+    assert(!rules("/*.pdf$").isAllowed("/docs/a.pdf"))
+    assert(rules("/*.pdf$").isAllowed("/docs/a.pdfx"))
+    assert(!rules("/exact$").isAllowed("/exact"))
+    assert(rules("/exact$").isAllowed("/exact/sub"))
+    // Allow with a longer wildcard pattern overrides a broad Disallow
+    val mixed = Robots.Rules(Vector(
+      Robots.Rule(allow = false, "/pub"),
+      Robots.Rule(allow = true, "/public*")), None)
+    assert(mixed.isAllowed("/public/x") && !mixed.isAllowed("/pub/x"))
+  }
+
+  test("RFC 9309 group selection: an EMPTY matching exact group wins over *") {
+    // NB: agent lines separated only by blank lines MERGE into one group
+    // (RFC 9309 ABNF / Google parser), so the truly-empty exact group is
+    // the trailing header at EOF — the shape this test pins down
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |""".stripMargin
+    // the graftbot group exists (and is empty) → everything allowed;
+    // the star group's Disallow must NOT apply
+    assert(Robots.parse(txt, "graftbot").isAllowed("/anything"))
+    assert(!Robots.parse(txt, "otherbot").isAllowed("/anything"))
+    // …and blank-line-separated agent headers DO merge into one group
+    val merged =
+      """User-agent: graftbot
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(!Robots.parse(merged, "graftbot").isAllowed("/x"))
+  }
 }
