@@ -36,8 +36,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions",
-        cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "3").toInt)
+      .config("spark.sql.shuffle.partitions", cpus * partsPerCore)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -130,18 +129,21 @@ object Bench {
       partitions = parts,
       repartitionPages = false,
       pipelineCommits = true)) // equivalence tested in CrawlSpec
-    val t0 = System.nanoTime()
-    cw.runAll(seeds)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val urls = store.readLatest("frontier").get
-      .where("state in ('done','error')").count()
-    pages.unpersist(); seeds.unpersist()
-    // delete the run's store+scratch (~1 GB of freshly-dirtied pages):
-    // leaving it leaks disk across runs AND its writeback steals I/O
-    // from whatever measurement runs next (the scaling forks start
-    // right after the headline crawl)
-    deleteRecursively(root)
-    (urls, sec)
+    try {
+      val t0 = System.nanoTime()
+      cw.runAll(seeds)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val urls = store.readLatest("frontier").get
+        .where("state in ('done','error')").count()
+      (urls, sec)
+    } finally {
+      pages.unpersist(); seeds.unpersist()
+      // delete the run's store+scratch (~1 GB of freshly-dirtied pages)
+      // even when the crawl throws: leaving it leaks disk across runs
+      // AND its writeback steals I/O from whatever measurement runs
+      // next (the scaling forks start right after the headline crawl)
+      deleteRecursively(root)
+    }
   }
 
   private[graft] def deleteRecursively(dir: String): Unit = {
@@ -201,9 +203,15 @@ object Bench {
         else {
           val cap = math.min(120.0, remaining - reserve).max(5.0)
           val sc = spark.sparkContext
-          sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
           val t0 = System.nanoTime()
-          val f = Future { fn(spark, sfDir).count() }
+          // the group must be set ON THE EXECUTING THREAD: job-group is
+          // a thread-local, and a pool thread reused from an earlier
+          // query would otherwise submit under a stale (or no) group,
+          // making the timeout's cancelJobGroup a no-op
+          val f = Future {
+            sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+            try fn(spark, sfDir).count() finally sc.clearJobGroup()
+          }
           val sec =
             try { Await.result(f, cap.seconds); (System.nanoTime() - t0) / 1e9 }
             catch {
@@ -212,7 +220,6 @@ object Bench {
                 -(System.nanoTime() - t0) / 1e9
               case _: Throwable => -(System.nanoTime() - t0) / 1e9
             }
-          sc.clearJobGroup()
           name -> sec
         }
       }
@@ -230,6 +237,10 @@ object Bench {
         Fixtures.seeds(spark, sfDir, seedRep).write.parquet(s"$d/seeds")
         Some(d)
       } else None
+    // fixtures are multi-GB: clean them up even on an abnormal exit
+    // (exception anywhere below), not only on the happy path's delete
+    fixDir.foreach(d => Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(d))))
     val (urls, crawlSec) = fixDir match {
       case Some(d) => crawlRunOn(spark,
         spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), seedRep)

@@ -67,12 +67,23 @@ object EventStream {
         val out = Seq.newBuilder[Session]
         var acc: SessionAcc = state.getOption.orNull
         for (e <- sorted) {
-          val t = e.ts.getTime
+          // FLOOR to the second boundary: the window-SQL oracles gap on
+          // unix_timestamp (whole seconds), so an exact-ms gap here
+          // would split/merge differently on boundary-straddling pairs
+          // (the fixture timestamps all carry sub-second parts)
+          val t = Math.floorDiv(e.ts.getTime, 1000L) * 1000L
           if (acc == null) acc = SessionAcc(t, t, 1, e.value)
           else if (t - acc.lastMs > gapMs) {
             out += finish(uid, acc)
             acc = SessionAcc(t, t, 1, e.value)
-          } else { acc.lastMs = t; acc.n += 1; acc.total += e.value }
+          } else {
+            // max/min, not assignment: a late event arriving in a later
+            // micro-batch (within watermark) must not rewind the session
+            // bounds or the gap/timeout baseline
+            acc.lastMs = math.max(acc.lastMs, t)
+            acc.startMs = math.min(acc.startMs, t)
+            acc.n += 1; acc.total += e.value
+          }
         }
         if (emitOpen) {
           if (acc != null) out += finish(uid, acc)

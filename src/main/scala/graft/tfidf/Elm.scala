@@ -177,8 +177,12 @@ object LcElm {
     val sc = rows.sparkSession.sparkContext
     val layersBc = sc.broadcast(layers)
     val h = nHidden; val m = nEstimators
+    // two passes scan `rows` (member Grams, then combiner Grams over
+    // the members' votes) — persist so pass 2 does not re-execute the
+    // caller's full featurization lineage
+    val rowsP = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: every member's (HᵀH, Hᵀy±) in one scan
-    val grams = rows.rdd.mapPartitions { it =>
+    val grams = rowsP.rdd.mapPartitions { it =>
       val ls = layersBc.value
       val g = Array.fill(m)(new Array[Double](h * h))
       val v = Array.fill(m)(new Array[Double](h))
@@ -218,7 +222,7 @@ object LcElm {
     val membersBc = sc.broadcast(members)
     // pass 2: combiner Gram over the vote matrix F (raw 0/1 targets —
     // lc-elm.py:61-63, quirk preserved)
-    val (ftf, fty) = rows.rdd.mapPartitions { it =>
+    val (ftf, fty) = rowsP.rdd.mapPartitions { it =>
       val ms = membersBc.value
       val g = new Array[Double](m * m)
       val v = new Array[Double](m)
@@ -243,6 +247,7 @@ object LcElm {
       i = 0; while (i < m) { l._2(i) += r._2(i); i += 1 }
       l
     }
+    rowsP.unpersist(blocking = false)
     val Gf = new DenseMatrix(m, m, ftf)
     var i = 0; while (i < m) { Gf(i, i) += ridge; i += 1 }
     LcElmModel(members, (Gf \ DenseVector(fty)).toArray)
@@ -269,12 +274,16 @@ object LcElm {
   * score with the ELM. */
 final class ElmTitleScorer(vocab: Array[String], model: ElmModel)
     extends graft.features.TitleScorer {
+  // lowercase ONCE: score() runs per URL in the extraction hot path,
+  // and per-call toLowerCase would allocate |vocab| strings per page
+  private val vocabLc: Array[String] = vocab.map(_.toLowerCase)
+
   def score(titleTokens: Seq[String]): Double = {
     val tokenSet = titleTokens.toSet
-    val v = new Array[Double](vocab.length)
+    val v = new Array[Double](vocabLc.length)
     var i = 0
-    while (i < vocab.length) {
-      if (tokenSet.contains(vocab(i).toLowerCase)) v(i) = 1.0
+    while (i < vocabLc.length) {
+      if (tokenSet.contains(vocabLc(i))) v(i) = 1.0
       i += 1
     }
     model.predict(v)

@@ -36,6 +36,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(sqlOut.map(_._3).sum == out.map(_.total_value_micro).sum)
   }
 
+  test("gap compares floored SECONDS (oracle semantics), not exact millis") {
+    import spark.implicits._
+    // sub-second timestamps straddling the gap boundary: 00:00:00.900 →
+    // 00:30:00.100 is 1799.2 s exact but 1800 s floored — the SQL
+    // oracles (unix_timestamp/epoch floor) MERGE these; so must we
+    def t(ms: Long) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + ms)
+    val e = Seq(Ev(0, t(900), 1, 1.0), Ev(1, t(1800L * 1000 + 100), 1, 1.0))
+    val out = EventStream.sessionize(spark.createDataset(e), gapSec = 1800, emitOpen = true)
+      .collect()
+    assert(out.length == 1 && out(0).n_events == 2)
+    // one tick later the floored gap is 1801 s > 1800 → split
+    val e2 = Seq(Ev(0, t(900), 1, 1.0), Ev(1, t(1801L * 1000 + 100), 1, 1.0))
+    val out2 = EventStream.sessionize(spark.createDataset(e2), gapSec = 1800, emitOpen = true)
+      .collect()
+    assert(out2.length == 2)
+  }
+
   test("streaming sessionization: state carries across micro-batches, timeout closes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -55,6 +73,32 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val closed = spark.table("sess").as[EventStream.Session].collect()
       assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value_micro == 15000000L))
+    } finally q.stop()
+  }
+
+  test("a late cross-batch event does not rewind the session bounds or gap baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(
+      mem.toDS().withWatermark("ts", "2 hours"), gapSec = 1800, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(0, ts(10), 1, 1.0))  // lastMs = 00:10
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(0), 1, 1.0))   // LATE: must not rewind lastMs
+      q.processAllAvailable()
+      // 00:35 is 25 min after the true last event (00:10) → same session
+      // (a rewound baseline of 00:00 would wrongly split at 35 min)
+      mem.addData(Ev(2, ts(35), 1, 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(600), 2, 1.0)) // advance watermark, close it
+      q.processAllAvailable()
+      val closed = spark.table("sess_late").as[EventStream.Session].collect()
+      assert(closed.exists(s => s.user_id == 1 && s.n_events == 3 &&
+        s.session_start_epoch == ts(0).getTime / 1000 &&
+        s.session_end_epoch == ts(35).getTime / 1000))
     } finally q.stop()
   }
 
