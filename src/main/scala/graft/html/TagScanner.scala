@@ -66,19 +66,22 @@ object TagScanner {
           val end = html.indexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
         } else if (isNameStart(c)) {
-          val (tag, after) = parseStartTag(html, lt)
+          val (tag, after, selfClosing) = parseStartTag(html, lt)
           tag match {
+            // a self-closing <script/>/<style/>/<title/> does NOT enter
+            // content mode: html.parser dispatches startendtag and only
+            // calls set_cdata_mode for a plain start tag
             case Some(t) =>
-              if (t.name == "script" || t.name == "style") {
+              if (!selfClosing && (t.name == "script" || t.name == "style")) {
                 // CDATA: skip to the matching close tag, case-insensitive
-                val close = indexOfIgnoreCase(html, "</" + t.name, after)
+                val close = findCloseTag(html, t.name, after)
                 out += t
                 i = if (close < 0) n else html.indexOf('>', close) match {
                   case -1 => n
                   case e  => e + 1
                 }
-              } else if (t.name == "title") {
-                val close = indexOfIgnoreCase(html, "</title", after)
+              } else if (!selfClosing && t.name == "title") {
+                val close = findCloseTag(html, "title", after)
                 val text = if (close < 0) html.substring(after) else html.substring(after, close)
                 out += t.copy(text = text)
                 i = if (close < 0) n
@@ -97,35 +100,57 @@ object TagScanner {
     out.result()
   }
 
-  private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
-    val sl = s.length; val subl = sub.length
+  /** `\s` in a CPython regex: ASCII-only whitespace (html.parser runs
+    * without re.UNICODE on str patterns in the paths we mirror). */
+  private def isPymSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  /** First index of a CDATA-terminating close tag at or after `from`:
+    * CPython html.parser's `set_cdata_mode` interesting pattern
+    * `</\s*NAME(?=[\t\n\r\f />])`, IGNORECASE. Returns the index of the
+    * `<`, or -1. A bare `</script` at end-of-input does NOT match (the
+    * lookahead needs a following char), same as the Python regex. */
+  private def findCloseTag(html: String, name: String, from: Int): Int = {
+    val n = html.length
+    val nl = name.length
     var i = math.max(from, 0)
-    while (i <= sl - subl) {
-      var j = 0
-      var ok = true
-      while (ok && j < subl) {
-        if (Character.toLowerCase(s.charAt(i + j)) != Character.toLowerCase(sub.charAt(j))) ok = false
-        j += 1
+    while (i < n - 1) {
+      if (html.charAt(i) == '<' && html.charAt(i + 1) == '/') {
+        var j = i + 2
+        while (j < n && isPymSpace(html.charAt(j))) j += 1
+        if (html.regionMatches(true, j, name, 0, nl) && j + nl < n) {
+          val b = html.charAt(j + nl)
+          if (b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == ' ' || b == '/' || b == '>')
+            return i
+        }
       }
-      if (ok) return i
       i += 1
     }
     -1
   }
 
   /** Parse one start tag beginning at `lt` (html.charAt(lt)=='<').
-    * Returns the Tag and the index just past the closing '>'. */
-  private def parseStartTag(html: String, lt: Int): (Option[Tag], Int) = {
+    * Returns the Tag, the index just past the closing '>', and whether
+    * the tag was self-closing (`.../>` → html.parser startendtag). */
+  private def parseStartTag(html: String, lt: Int): (Option[Tag], Int, Boolean) = {
     val n = html.length
     var i = lt + 1
     val nameStart = i
     while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
     val name = html.substring(nameStart, i).toLowerCase
-    if (name.isEmpty) return (None, i)
+    if (name.isEmpty) return (None, i, false)
     val attrs = Vector.newBuilder[(String, Option[String])]
     var done = false
+    // `/` consumed by the inter-attribute skip right before the closing
+    // `>` marks the tag self-closing; a `/` inside an unquoted value
+    // (e.g. href=foo/) stays part of the value and does not count.
+    var selfClosing = false
     while (!done && i < n) {
-      while (i < n && (html.charAt(i).isWhitespace || html.charAt(i) == '/')) i += 1
+      selfClosing = false
+      while (i < n && (html.charAt(i).isWhitespace || html.charAt(i) == '/')) {
+        if (html.charAt(i) == '/') selfClosing = true
+        i += 1
+      }
       if (i >= n) done = true
       else if (html.charAt(i) == '>') { i += 1; done = true }
       else {
@@ -155,7 +180,7 @@ object TagScanner {
         }
       }
     }
-    (Some(Tag(name, attrs.result(), "")), i)
+    (Some(Tag(name, attrs.result(), "")), i, selfClosing)
   }
 
   /** bs4 `find_all(name)`. */

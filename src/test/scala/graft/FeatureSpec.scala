@@ -112,6 +112,29 @@ class TagScannerSpec extends AnyFunSuite {
     val tags = TagScanner.scan("<input type=\"submit\"><button type=\"submit\"><div type=\"submit\">")
     assert(TagScanner.findAllByAttr(tags, "type", "submit").size == 3)
   }
+  test("self-closing script/title does not swallow following tags") {
+    // html.parser dispatches startendtag for <script/> and never enters
+    // CDATA mode, so the <a> after it is a real tag
+    val tags = TagScanner.scan("<script/><a href=\"x\"><title/><b>")
+    assert(tags.map(_.name) == Vector("script", "a", "title", "b"))
+    assert(TagScanner.findAll(tags, "title").head.text == "")
+  }
+  test("CDATA close needs a tag-name boundary (CPython lookahead)") {
+    // </scriptx is NOT a terminator; </script > and </script/ are
+    val t1 = TagScanner.scan("<script>a</scriptx>b</script ><i>")
+    assert(t1.map(_.name) == Vector("script", "i"))
+    // bare </script at end-of-input fails the lookahead → rest is CDATA
+    val t2 = TagScanner.scan("<script>a<b></script")
+    assert(t2.map(_.name) == Vector("script"))
+    // whitespace between </ and the name is allowed (</\s*name)
+    val t3 = TagScanner.scan("<style>x</ style><u>")
+    assert(t3.map(_.name) == Vector("style", "u"))
+  }
+  test("slash inside an unquoted attr value is not self-closing") {
+    val tags = TagScanner.scan("<script src=a/b>hidden<x></script><y>")
+    assert(tags.map(_.name) == Vector("script", "y"))
+    assert(tags.head.getOpt("src").contains("a/b"))
+  }
 }
 
 class HttpFeatureSpec extends AnyFunSuite {
