@@ -88,20 +88,18 @@ final class Cuckoo(
       if (tryPlace(curI, curFp)) return
       kick += 1
     }
-    // table effectively full for this path → exact stash (no false negative)
-    // NOTE: the stashed key is the ORIGINAL h only when the walk evicted
-    // nothing of ours; after evictions curFp belongs to some earlier key
-    // whose fingerprint we displaced — re-stash the displaced fingerprint
-    // as a synthetic key marker instead: keep fp-level semantics by
-    // undoing nothing and stashing both the displaced fp (fingerprint
-    // membership via table scan fails) — simplest sound policy: stash h
-    // and ALSO re-insert the displaced fingerprint into the stash as a
-    // fingerprint sentinel. Since stash checks are exact on h and
-    // fingerprint sentinels are checked by fp, encode sentinels as
-    // (fpSentinelTag | fp) which cannot collide with real 64-bit hashes'
-    // usable space statistically; membership checks consult both forms.
+    // Walk failed: the first walk write placed h's own fp, so what is
+    // missing from the table now is the FINAL displaced fingerprint
+    // curFp, owned by some other key (or by h itself if the walk
+    // cycled). Keep the no-false-negative contract exactly: stash h,
+    // and ALWAYS stash a fingerprint sentinel for curFp — even when
+    // curFp == fp numerically, since the displaced copy may belong to a
+    // different key sharing the 16-bit fingerprint, which mightContain
+    // can then only answer via the sentinel. Sentinels trade a few
+    // extra false positives (p = 2^-48 per real-hash collision with the
+    // tag) for zero false negatives.
     stash += h
-    if (curFp != fp) stash += Cuckoo.FpSentinelTag | (curFp.toLong & 0xffffL)
+    stash += Cuckoo.FpSentinelTag | (curFp.toLong & 0xffffL)
   }
 
   def mightContain(h: Long): Boolean = {

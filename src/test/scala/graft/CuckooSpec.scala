@@ -85,6 +85,20 @@ class CuckooSpec extends AnyFunSuite {
     assert(SeenFilter.deserialize("bloom", b.serialize).mightContain(6L))
   }
 
+  test("saturated tiny filters: no false negatives even when eviction walks fail") {
+    // tiny tables make walk failures (→ stash + fp sentinel) the common
+    // path and maximize fingerprint-collision chances among co-located
+    // keys — the regime where a missing sentinel for a displaced twin
+    // fingerprint would surface as a false negative
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 200) {
+      val f = Cuckoo(capacity = 4 + rnd.nextInt(12))
+      val xs = List.fill(50 + rnd.nextInt(450))(rnd.nextLong())
+      xs.foreach(f.put)
+      assert(xs.forall(f.mightContain), s"trial=$trial")
+    }
+  }
+
   test("property sweep: membership holds for many key-set shapes and sizes") {
     val rnd = new scala.util.Random(12345)
     for (trial <- 0 until 50) {
