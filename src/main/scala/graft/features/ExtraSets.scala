@@ -346,7 +346,8 @@ object HttpFeatureSets {
     var m = 0
     for ((d, c) <- counts) if (d != "." && d != pageDomain) m += c
     Vector(
-      HttpFeatures.nullATag(st),
+      // extractors4 returns the absolute null count, not set5's rate
+      HttpFeatures.nullATagCount(st),
       m.toDouble,
       b(Py.rstrip(rawUrl).startsWith("https")))
   }
@@ -367,10 +368,27 @@ object HttpFeatureSets {
     val isBase64 = st.redirectTags.exists { t =>
       t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", c.toLowerCase))
     }
-    val isForm = TagScanner.findAll(st.tags, "form").nonEmpty
+    // is_form (:490-493) = get_form() OR _get_form_in_javascript()
+    val isForm = TagScanner.findAll(st.tags, "form").nonEmpty ||
+      HttpFeatures.formInJavascriptWriteDot(st)
     val searchPattern = "^(.*[^\\w\\d]+|)search(|[^\\w\\d]+.*)$"
-    val texts = textNodes(st.htmlStr).map(_.toLowerCase)
-    val attrVals = st.tags.flatMap(_.attrs.flatMap(_._2))
+    // _get_all_text/_get_all_attrs (:83-100) both gate on a <body> tag
+    // existing (bs4 html.parser synthesizes none) and walk only tags
+    // whose NAME contains neither "script" nor "style" (the
+    // `^((?!script|style).)*$` find_all regex — also excludes noscript)
+    val hasBody = st.tags.exists(_.name == "body")
+    val searchableTags =
+      if (!hasBody) Vector.empty
+      else st.tags.filter(t => !t.name.contains("script") && !t.name.contains("style"))
+    val texts = if (hasBody) textNodes(st.htmlStr).map(_.toLowerCase) else Vector.empty
+    // bs4 multi-valued attrs (class) are tested token-wise, the rest as
+    // whole strings; valueless attrs read back '' in bs4 html.parser —
+    // '' cannot match the pattern, so dropping None here is equivalent
+    val attrVals = searchableTags.flatMap(_.attrs.flatMap {
+      case ("class", Some(v)) => v.split("\\s+").filter(_.nonEmpty).toVector
+      case (_, Some(v))       => Vector(v)
+      case _                  => Vector.empty
+    })
     val isSearch = texts.exists(t => Py.pyMatchM(searchPattern, t)) ||
       attrVals.exists(v => Py.pyMatchM(searchPattern, v))
     val title =
@@ -407,16 +425,27 @@ object HttpFeatureSets {
     * html concatenates (current first), script rows gain DOUBLE the
     * previous block's rows (the `+=` appears twice), embed comes from
     * the PREVIOUS block. */
-  final case class Set3State(htmlStr: String, scriptRows: Vector[String], totalRows: Int) {
+  final case class Set3State(
+      htmlStr: String,
+      scriptRows: Vector[String],
+      totalRows: Int,
+      embeds: Vector[Tag]) {
     def absorb(prev: Set3State): Set3State = Set3State(
       htmlStr + prev.htmlStr,
       scriptRows ++ prev.scriptRows ++ prev.scriptRows,
-      totalRows + prev.totalRows)
+      totalRows + prev.totalRows,
+      // `self.embed = other.embed` (:396): pairwise the previous side
+      // wins, so folding leaves the FIRST block's standalone embed list
+      prev.embeds)
   }
 
   private def set3State(block: String): Set3State = {
-    val striped = HttpFeatures.stripedHtmlStr(block)
-    Set3State(block, calTagBlock(block, "script"), striped.split("\n", -1).length)
+    val rawRows = block.split("\n", -1) // the block's only line split
+    val (_, stripedRows) = HttpFeatures.stripedFromRows(rawRows)
+    // _get_script_block_rows ignores its striped argument and walks the
+    // RAW html_str (:65,72); total_rows counts the striped lines (:26)
+    Set3State(block, calTagBlock(rawRows, "script"), stripedRows.length,
+      TagScanner.findAll(TagScanner.scan(block), "embed"))
   }
 
   /** `_get_number_of_object` (:77-84): per line, per `;`-segment,
@@ -438,14 +467,21 @@ object HttpFeatureSets {
     def attrCnt(name: String, attr: String) =
       TagScanner.findAll(tags, name).count(_.getOpt(attr).isDefined)
     def num(p: String) = numberOfObject(st.htmlStr, p).toDouble
-    val embeds = TagScanner.findAll(tags, "embed")
+    // embed features use self.embed (:111,127), which after the merge
+    // fold is the FIRST block's standalone list — NOT the merged tree
+    val embeds = st.embeds
     // //form/a approximated as <a> inside <form>…</form> spans
     val formAs = formChildATags(st.htmlStr)
-    val hidden = tags.count { t =>
-      t.getOpt("style").exists(s => Py.pySearch("visibility:.*hidden", s).isDefined || Py.pySearch("display:.*none", s).isDefined) ||
-        t.getOpt("type").contains("hidden") ||
-        t.attrs.exists(_._1 == "hidden")
-    }
+    // get_outofplace_tags (:146-151) CONCATENATES four xpath node-lists,
+    // so a tag matching several hidden-conditions counts once per
+    // condition it matches
+    val hidden = tags.map { t =>
+      val style = t.getOpt("style")
+      (if (style.exists(s => Py.pySearch("visibility:.*hidden", s).isDefined)) 1 else 0) +
+        (if (t.getOpt("type").contains("hidden")) 1 else 0) +
+        (if (t.attrs.exists(_._1 == "hidden")) 1 else 0) +
+        (if (style.exists(s => Py.pySearch("display:.*none", s).isDefined)) 1 else 0)
+    }.sum
     val scriptJoined = st.scriptRows
     val values: Map[String, Double] = Map(
       "get_ADODBStream" -> num("ADODB\\.Stream"),
@@ -477,7 +513,8 @@ object HttpFeatureSets {
       "get_input" -> cnt("input").toDouble,
       "get_input_in_javascript" -> 0.0, // :239-261 same dead-return quirk
       "get_javascript_function_calls" -> scriptJoined.map(r => Py.pyFindAllCount("\\(", Py.rstrip(r))).sum.toDouble,
-      "get_javascript_length" -> scriptJoined.map(_.length).sum.toDouble,
+      // Py2 len(row) over byte-str rows = UTF-8 byte length
+      "get_javascript_length" -> scriptJoined.map(Py.byteLen).sum.toDouble,
       "get_javascript_length2" -> scriptJoined.map(r => Py.pyFindAllCount("\\(", Py.rstrip(r))).sum.toDouble,
       "get_javascript_rows" -> scriptJoined.size.toDouble,
       "get_link_href" -> attrCnt("link", "href").toDouble,

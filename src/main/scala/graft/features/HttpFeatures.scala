@@ -252,6 +252,20 @@ object HttpFeatures {
     if (total > 0) nullUrl.toDouble / total.toDouble else 0.0
   }
 
+  /** extractors4's `null_a_tag` (extractors4/http_feature.py:230-247):
+    * identical null test to [[nullATag]] but returns the ABSOLUTE count
+    * (`return null_url`), not the rate — the two sets deliberately
+    * diverge here. */
+  def nullATagCount(st: State): Double = {
+    var nullUrl = 0
+    for (node <- st.aTags) {
+      val url = node.getOpt("href")
+      val keep = truthy(url) && !url.get.startsWith("#") && !url.get.contains("void(")
+      if (!keep) nullUrl += 1
+    }
+    nullUrl.toDouble
+  }
+
   def sameExternalDomainLinkRate(st: State, pageDomain: String): Double =
     externalRate(st.linkTags, "href", pageDomain, u => truthy(u) && u.get != "#")
 
@@ -274,6 +288,20 @@ object HttpFeatures {
       val first = (if (nl < 0) block else block.substring(0, nl)).toLowerCase
       first.contains("write(") &&
         Py.pyMatchM("^.*write\\(.*<form[^>]*>.*$", first)
+    }
+
+  /** extractors6's `_get_form_in_javascript`
+    * (extractors6/http_feature.py:150-155): same anchored first-line-only
+    * shape as [[formInJavascriptWrite]], but the regex is
+    * `^.*\.write(ln|)\(.*<form[^>]*>.*$` — a DOT before `write` and an
+    * optional `ln`, unlike extractors5's bare `write\(`. */
+  def formInJavascriptWriteDot(st: State): Boolean =
+    st.scriptBlockRows != 0 && {
+      val block = st.scriptBlock.mkString("\n")
+      val nl = block.indexOf('\n')
+      val first = (if (nl < 0) block else block.substring(0, nl)).toLowerCase
+      first.contains("write") &&
+        Py.pyMatchM("^.*\\.write(ln|)\\(.*<form[^>]*>.*$", first)
     }
 
   /** `get_form_in_javascript` (:92-137). Quirks mirrored: `name`/`id`

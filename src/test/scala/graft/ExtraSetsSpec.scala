@@ -108,15 +108,35 @@ class ExtraSetsSpec extends AnyFunSuite {
     val v = HttpFeatureSets.set4(Seq(html), "https://e.com/\n")
     assert(v(1) == 2.0) // two external hrefs (x.com twice)
     assert(v(2) == 1.0) // is_ssl
-    assert(v(0) == 0.25) // 1 of 4 a-tags null (#)
+    assert(v(0) == 1.0) // ABSOLUTE null count (extractors4 `return null_url`)
   }
 
   test("set6 http: is_login_form = form and not search-word") {
-    val formNoSearch = "<html><form action=\"/l\"><input type=\"text\"></form><p>welcome</p></html>"
-    val formSearch = "<html><form action=\"/l\"><input name=\"search\"></form></html>"
+    val formNoSearch = "<html><body><form action=\"/l\"><input type=\"text\"></form><p>welcome</p></body></html>"
+    val formSearch = "<html><body><form action=\"/l\"><input name=\"search\"></form></body></html>"
     assert(HttpFeatureSets.set6(Seq(formNoSearch), "http://e.com/\n", cfg).last == 1.0)
     assert(HttpFeatureSets.set6(Seq(formSearch), "http://e.com/\n", cfg).last == 0.0)
-    assert(HttpFeatureSets.set6(Seq("<html><p>plain</p></html>"), "http://e.com/\n", cfg).last == 0.0)
+    assert(HttpFeatureSets.set6(Seq("<html><body><p>plain</p></body></html>"), "http://e.com/\n", cfg).last == 0.0)
+  }
+
+  test("set6 http: search walk gated on <body>; script attrs excluded; js-write form counts") {
+    // same search-bearing form but NO <body>: _get_all_text/_get_all_attrs
+    // return [] (html.parser synthesizes no body) → is_login_form = 1
+    val noBody = "<html><form action=\"/l\"><input name=\"search\"></form></html>"
+    assert(HttpFeatureSets.set6(Seq(noBody), "http://e.com/\n", cfg).last == 1.0)
+    // 'search' only inside a script tag's attr: excluded from the walk
+    val scriptAttr =
+      "<html><body><form action=\"/l\"></form><script src=\"http://cdn/search.js\"></script></body></html>"
+    assert(HttpFeatureSets.set6(Seq(scriptAttr), "http://e.com/\n", cfg).last == 1.0)
+    // no <form> tag, but document.write('<form ...>') on the first
+    // script line → extractors6 is_form via _get_form_in_javascript
+    val jsForm =
+      "<html><body>\n<script>document.write('<form name=\"x\">');\nvar a=1;\n</script>\n<p>hi</p>\n</body></html>"
+    assert(HttpFeatureSets.set6(Seq(jsForm), "http://e.com/\n", cfg).last == 1.0)
+    // extractors6 requires the DOT: a bare write( must NOT count
+    val bareWrite =
+      "<html><body>\n<script>write('<form name=\"x\">');\nvar a=1;\n</script>\n<p>hi</p>\n</body></html>"
+    assert(HttpFeatureSets.set6(Seq(bareWrite), "http://e.com/\n", cfg).last == 0.0)
   }
 
   test("set3 http: object counts, dead-return quirks, js metrics") {
@@ -151,6 +171,31 @@ class ExtraSetsSpec extends AnyFunSuite {
       "<html>\n<p>a</p>\n<p>b</p>\n<p>c</p>\n<script>\nfunction f(a) { return a; }\n</script>\n</html>"),
       "http://e.com/\n")
     assert(v2(names.indexOf("get_javascript_rows")) == 0.0)
+  }
+
+  test("set3 http: outofplace multi-counts, embed from FIRST block, js byte length") {
+    val names = HttpFeatureSets.set3HttpNames
+    def f(v: Vector[Double], n: String) = v(names.indexOf(n))
+    // one tag matching three hidden-conditions counts 3 (the reference
+    // concatenates four xpath node-lists)
+    val multi = "<html>\n<input type=\"hidden\" hidden style=\"display: none\">\n</html>"
+    assert(f(HttpFeatureSets.set3(Seq(multi), "http://e.com/\n"), "get_outofplace_tags") == 3.0)
+    // merged blocks: `self.embed = other.embed` pairwise → the fold
+    // leaves the FIRST block's standalone embed list
+    val b1 = "<html>\n<p>x</p>\n</html>"
+    val b2 = "<html>\n<embed src=\"abcd\">\n</html>"
+    val v12 = HttpFeatureSets.set3(Seq(b1, b2), "http://e.com/\n")
+    assert(f(v12, "get_embed_tags") == 0.0)
+    assert(f(v12, "get_embed_src_length") == 0.0)
+    val v21 = HttpFeatureSets.set3(Seq(b2, b1), "http://e.com/\n")
+    assert(f(v21, "get_embed_tags") == 1.0)
+    assert(f(v21, "get_embed_src_length") == 4.0)
+    // js length counts UTF-8 bytes (Py2 len over byte-str rows)
+    val row = "<script>var s = \"中文\";"
+    val js = "<html>\n" + row + "\n</script>\n<p></p>\n</html>"
+    val vj = HttpFeatureSets.set3(Seq(js), "http://e.com/\n")
+    assert(f(vj, "get_javascript_length") == Py.byteLen(row).toDouble)
+    assert(Py.byteLen(row) == row.length + 4) // 2 CJK chars, 3 bytes each
   }
 
   test("set2s nslookup: dnsrecord error lines and year-age buckets") {
