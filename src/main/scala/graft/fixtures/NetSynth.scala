@@ -80,14 +80,16 @@ object NetSynth {
 
   val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
 
-  /** Content-type alone (cheap) — lets the engine pick the decode
-    * charset before synthesizing the rest. */
-  def contentTypeOf(url: String): String = {
-    val hm = pos(urlSeed(url), 100)
+  /** The single hm → Content-Type rule (byte-identity-critical: the
+    * engine's charset pick and the fixture's rendered header must agree). */
+  private def contentTypeFor(hm: Int): String =
     if (hm == 8) "application/pdf"
     else if (hm == 10) "image/png"
     else "text/html; charset=utf-8"
-  }
+
+  /** Content-type alone (cheap) — lets the engine pick the decode
+    * charset before synthesizing the rest. */
+  def contentTypeOf(url: String): String = contentTypeFor(pos(urlSeed(url), 100))
 
   def forUrl(url: String): Synth = forUrlImpl(url, None)
 
@@ -105,16 +107,13 @@ object NetSynth {
     val hm = pos(h, 100)
 
     // ---- status / content-type / title → liveness branch mix
-    val status =
+    // (redirect hops live in `history` below; requests follows 3xx, so
+    // the FINAL status is never a redirect)
+    val finalStatus =
       if (hm >= 5 && hm < 8) 404
       else if (hm == 9) 503
-      else if (pos(h, 13) == 1) 301 // never final: requests follows; keep 200 final
       else 200
-    val finalStatus = if (status == 301) 200 else status
-    val contentType =
-      if (hm == 8) "application/pdf"
-      else if (hm == 10) "image/png"
-      else "text/html; charset=utf-8"
+    val contentType = contentTypeFor(hm)
     val title =
       if (hm < 3) "404 Not Found"
       else if (hm == 3) "Account suspended"
