@@ -14,12 +14,16 @@ import org.apache.spark.sql.SparkSession
   * stays covered by ScalaTest (seeded-goldens + distributed-vs-local
   * parity specs); the oracle proves the distributed SCORING path.
   *
-  * The path must be absolute + stable (the oracle SQL is a static
-  * string the driver replays in DuckDB after running the query).
+  * The path must be absolute and stable for the LIFETIME OF THIS JVM
+  * (the oracle SQL string embeds it, and the driver replays that SQL in
+  * DuckDB after the query run that wrote the weights) — but NOT shared
+  * across JVMs: a fixed machine-global path would let any other run
+  * (Verify on another sf dir, PlanAudit, Bench) clobber weights a
+  * pending DuckDB compare still depends on. Hence one dir per process.
   */
 object ElmSide {
 
-  val dir = "/tmp/graft_oracle_side"
+  val dir: String = "/tmp/graft_oracle_side_" + ProcessHandle.current().pid()
 
   case class WRow(kind: String, i: Int, j: Int, v: Double, term: String)
 
@@ -76,7 +80,9 @@ object ElmSide {
        |bi AS (SELECT i AS h, v AS b FROM sd WHERE kind = 'b'),
        |be AS (SELECT i AS h, v AS beta FROM sd WHERE kind = 'beta'),
        |t AS (SELECT doc_id,
-       |        list_filter(string_split(lower(translate(trim(text), '$dfrom', '$dto')), ' '),
+       |        list_filter(string_split(lower(translate(
+       |            trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+       |            '$dfrom', '$dto')), ' '),
        |                    x -> x <> '')[1:8] AS toks
        |      FROM documents),
        |dt AS (SELECT DISTINCT doc_id, term
@@ -92,10 +98,12 @@ object ElmSide {
        |hz AS (SELECT d.doc_id, bi.h, bi.b + coalesce(s.sw, 0.0) AS z
        |       FROM (SELECT doc_id FROM documents) d
        |       CROSS JOIN bi
-       |       LEFT JOIN (SELECT a.doc_id, w.h, sum(w.v) AS sw
+       |       LEFT JOIN (SELECT a.doc_id, w.h,
+       |                    list_sum(list(w.v ORDER BY w.c)) AS sw
        |                  FROM act a JOIN wm w ON w.c = a.c GROUP BY 1, 2) s
        |         ON s.doc_id = d.doc_id AND s.h = bi.h),
-       |dec AS (SELECT hz.doc_id, sum(be.beta * (1.0 / (1.0 + exp(-hz.z)))) AS dv
+       |dec AS (SELECT hz.doc_id,
+       |          list_sum(list(be.beta * (1.0 / (1.0 + exp(-hz.z))) ORDER BY be.h)) AS dv
        |        FROM hz JOIN be ON be.h = hz.h GROUP BY 1)
        |SELECT doc_id,
        |  cast(CASE WHEN round(dv * 1000000, 0) >= 0 THEN 1 ELSE 0 END as bigint) AS elm_pred,
@@ -118,10 +126,10 @@ object ElmSide {
        |          / greatest(length(text), 1) AS x2
        |      FROM documents),
        |md AS (SELECT x.doc_id, mm.member,
-       |         sum(mm.beta * (1.0 / (1.0 + exp(-(((mm.b + mm.w0 * x.x0) + mm.w1 * x.x1) + mm.w2 * x.x2))))) AS dm
+       |         list_sum(list(mm.beta * (1.0 / (1.0 + exp(-(((mm.b + mm.w0 * x.x0) + mm.w1 * x.x1) + mm.w2 * x.x2)))) ORDER BY mm.h)) AS dm
        |       FROM x, mm GROUP BY 1, 2),
        |dec AS (SELECT md.doc_id,
-       |         sum((CASE WHEN md.dm >= 0 THEN 1.0 ELSE -1.0 END) * cv.vv) AS dv
+       |         list_sum(list((CASE WHEN md.dm >= 0 THEN 1.0 ELSE -1.0 END) * cv.vv ORDER BY md.member)) AS dv
        |        FROM md JOIN cv USING (member) GROUP BY 1)
        |SELECT doc_id,
        |  cast(CASE WHEN round(dv * 1000000, 0) > 0 THEN 1 ELSE 0 END as bigint) AS lcelm_pred,

@@ -1187,8 +1187,11 @@ object SparkEntry {
           .as[(Long, String, String)]
           .map { case (id, t, lang) =>
             val words = t.split(" ").count(_.nonEmpty).toDouble
-            (id, Array(t.length.toDouble / 1000.0, words / 100.0,
-              t.count(_ == 'e').toDouble / math.max(t.length, 1)),
+            // code points, not UTF-16 units: DuckDB length(text) counts
+            // code points, so non-BMP chars would otherwise diverge
+            val cp = t.codePointCount(0, t.length).toDouble
+            (id, Array(cp / 1000.0, words / 100.0,
+              t.count(_ == 'e').toDouble / math.max(cp, 1.0)),
               if (lang == "en") 1.0 else 0.0)
           }.toDF("doc_id", "x", "y").cache()
         val model = graft.tfidf.LcElm.trainDistributed(

@@ -39,7 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // keep oracle entries for every query of the run — including ones
+    // whose fn threw (the missing parquet must surface as a compare
+    // error, not vanish) — but in `only` dev-loop mode list just the
+    // selected queries, so the compare never reads stale parquet left
+    // in outDir by earlier runs of other queries
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

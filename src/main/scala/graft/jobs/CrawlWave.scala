@@ -171,17 +171,20 @@ object CrawlWave {
   def initFrontier(seeds: DataFrame): DataFrame = initFrontier(seeds, fetchFtp = false)
 
   def initFrontier(seeds: DataFrame, fetchFtp: Boolean): DataFrame = {
-    val imageExts = Seq(".ico", ".jpg", ".png", ".pdf", ".bmp", ".tiff")
-    val extCond = imageExts.map(e => lower(col("url")).endsWith(e)).reduce(_ || _)
+    // spider.py:526-535 tests url.lower() with DOTLESS suffixes: a path
+    // ending in 'calico' is skipped, and 'HTTP://…' / '….JPG' match
+    val urlLower = lower(col("url"))
+    val imageExts = Seq("ico", "jpg", "png", "pdf", "bmp", "tiff")
+    val extCond = imageExts.map(e => urlLower.endsWith(e)).reduce(_ || _)
     // S2 dispatch: http* → HTTP; ftp: → FTP when enabled (S8); else drop.
     // The image-extension skip (S3) applies ONLY to http URLs — it lives
     // inside the reference's http branch (spider.py:526-535), so
     // `ftp://…/x.jpg` IS fetched (quirk preserved).
     val schemeOk =
-      if (fetchFtp) col("url").startsWith("http") || col("url").startsWith("ftp:")
-      else col("url").startsWith("http")
+      if (fetchFtp) urlLower.startsWith("http") || urlLower.startsWith("ftp:")
+      else urlLower.startsWith("http")
     val extSkip =
-      if (fetchFtp) extCond && !col("url").startsWith("ftp:") else extCond
+      if (fetchFtp) extCond && !urlLower.startsWith("ftp:") else extCond
     val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("url")
       .orderBy(col("seq").asc)
     val withPriority =

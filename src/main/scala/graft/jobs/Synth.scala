@@ -57,14 +57,16 @@ object Synth {
   /** `ftp:` rows (S8, spider.py:535 → DownloadFTPFile): shared-dialect
     * WHERE over `seeds`. The image-extension skip does NOT apply to ftp
     * (it lives inside the reference's http branch). */
-  val ftpWhere: String = "(url LIKE 'ftp:%')"
+  val ftpWhere: String = "(lower(url) LIKE 'ftp:%')"
 
   /** Scheme dispatch + image-extension skip (spider.py:526-536, S2+S3):
-    * shared-dialect WHERE over `seeds`. */
+    * shared-dialect WHERE over `seeds`. Mirrors the reference exactly:
+    * `url.lower().startswith('http')` and DOTLESS
+    * `url.lower().endswith('ico')` etc — '…/calico' IS skipped. */
   val fetchableWhere: String =
-    """(url LIKE 'http%')
-      | AND NOT (url LIKE '%.ico' OR url LIKE '%.jpg' OR url LIKE '%.png'
-      |       OR url LIKE '%.pdf' OR url LIKE '%.bmp' OR url LIKE '%.tiff')""".stripMargin
+    """(lower(url) LIKE 'http%')
+      | AND NOT (lower(url) LIKE '%ico' OR lower(url) LIKE '%jpg' OR lower(url) LIKE '%png'
+      |       OR lower(url) LIKE '%pdf' OR lower(url) LIKE '%bmp' OR lower(url) LIKE '%tiff')""".stripMargin
 
   /** Crawler-domain canonicalization (spider.py:45-60) as shared-dialect
     * SQL over a relation exposing `url` — the DuckDB-side independent
