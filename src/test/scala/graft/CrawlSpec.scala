@@ -434,4 +434,28 @@ class CrawlSpec extends AnyFunSuite {
     assert(ftpRows.count() > 0)
     assert(ftpRows.where(col("state") =!= "dropped_scheme").count() == 0)
   }
+
+  test("S2/S3: dispatch tests url.lower() with DOTLESS suffixes (spider.py:526-535)") {
+    import spark.implicits._
+    val seeds = Seq(
+      (1L, "HTTP://h.example.com/x"),      // mixed-case scheme fetches
+      (2L, "http://h.example.com/calico"), // dotless endswith('ico') skips
+      (3L, "http://h.example.com/f.JPG"),  // case-insensitive ext skips
+      (4L, "FTP://h.example.com/a"),       // mixed-case ftp scheme
+      (5L, "mailto:a@b.c"),                // non-http(s)/ftp drops
+      (6L, "http://h.example.com/ok")
+    ).toDF("seq", "url")
+    val st = CrawlWave.initFrontier(seeds, fetchFtp = true)
+      .select("url", "state").as[(String, String)].collect().toMap
+    assert(st("HTTP://h.example.com/x") == "ready")
+    assert(st("http://h.example.com/calico") == "dropped_ext")
+    assert(st("http://h.example.com/f.JPG") == "dropped_ext")
+    assert(st("FTP://h.example.com/a") == "ready")
+    assert(st("mailto:a@b.c") == "dropped_scheme")
+    assert(st("http://h.example.com/ok") == "ready")
+    // fetchFtp off: the mixed-case ftp row drops on scheme
+    val off = CrawlWave.initFrontier(seeds)
+      .select("url", "state").as[(String, String)].collect().toMap
+    assert(off("FTP://h.example.com/a") == "dropped_scheme")
+  }
 }
