@@ -95,11 +95,13 @@ object ElmSide {
        |act AS (SELECT v.doc_id, voc.c
        |        FROM v JOIN nrm USING (doc_id) JOIN voc ON voc.term = v.term
        |        WHERE round(v.idf / nrm.nrm * 1000000, 0) >= 500000),
-       |hz AS (SELECT d.doc_id, bi.h, bi.b + coalesce(s.sw, 0.0) AS z
+       |hz AS (SELECT d.doc_id, bi.h,
+       |         CASE WHEN s.lw IS NULL THEN bi.b
+       |              ELSE list_reduce(list_prepend(bi.b, s.lw), (a, x) -> a + x) END AS z
        |       FROM (SELECT doc_id FROM documents) d
        |       CROSS JOIN bi
        |       LEFT JOIN (SELECT a.doc_id, w.h,
-       |                    list_sum(list(w.v ORDER BY w.c)) AS sw
+       |                    list(w.v ORDER BY w.c) AS lw
        |                  FROM act a JOIN wm w ON w.c = a.c GROUP BY 1, 2) s
        |         ON s.doc_id = d.doc_id AND s.h = bi.h),
        |dec AS (SELECT hz.doc_id,

@@ -114,29 +114,36 @@ object SparkEntry {
     * evaluates `hosted` ONCE into a cached view and runs the window SQL
     * on top. DuckDB (which materializes CTE steps) keeps the original
     * full-CTE oracle text — semantics identical. */
-  private val hostedBuilt =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)](null)
+  private val hostedViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private def hostedView(s: SparkSession, dir: String): Unit = {
-    // memoized per (session, dir) like the engine roots: four schedule
-    // queries share this, and each build eagerly checkpoints two stages
-    if (hostedBuilt.get() == ((s, dir))) return
-    reg(s, dir)
-    // stage 1: evaluate the seeds CASE once; localCheckpoint is a HARD
-    // lineage barrier (plain cache substitution does not reliably stop
-    // the inlining here)
-    s.sql(withSeeds(s"$fetchableCte SELECT seq, url, priority FROM fetchable"))
-      .localCheckpoint(eager = true)
-      .createOrReplaceTempView("fetchable_m")
-    // stage 2: dedup aggregate + crawler-domain chain over plain columns
-    s.sql(
-      s"""WITH ${dedupCte.replace("FROM fetchable", "FROM fetchable_m")},
-         |${hostedCte}
-         |SELECT seq, url, priority, host FROM hosted""".stripMargin)
-      .localCheckpoint(eager = true)
-      .createOrReplaceTempView("hosted_m")
-    hostedBuilt.set((s, dir))
-  }
+  /** Build (once per (session, dir)) the materialized hosted view and
+    * return its dir-unique name. Keyed like the engine-root memos: a
+    * single-slot memo would rebuild both eager checkpoints on every
+    * sf-dir alternation and leak the superseded checkpoint blocks;
+    * dir-suffixed names + localCheckpoint make the view content
+    * immutable, so later `reg` calls for other dirs cannot disturb it. */
+  private def hostedView(s: SparkSession, dir: String): String =
+    hostedViews.getOrElseUpdate((s, dir), {
+      reg(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fetchName = s"fetchable_m_$tag"
+      val hostName = s"hosted_m_$tag"
+      // stage 1: evaluate the seeds CASE once; localCheckpoint is a HARD
+      // lineage barrier (plain cache substitution does not reliably stop
+      // the inlining here)
+      s.sql(withSeeds(s"$fetchableCte SELECT seq, url, priority FROM fetchable"))
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(fetchName)
+      // stage 2: dedup aggregate + crawler-domain chain over plain columns
+      s.sql(
+        s"""WITH ${dedupCte.replace("FROM fetchable", s"FROM $fetchName")},
+           |${hostedCte}
+           |SELECT seq, url, priority, host FROM hosted""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(hostName)
+      hostName
+    })
 
   // ----------------------------------------------------------- engine memo
 
@@ -233,15 +240,29 @@ object SparkEntry {
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
       |WHERE term <> ''""".stripMargin
 
-  /** Terms whose max tfidf ≥ `thresh` (A12 selection, term only). */
-  private def termSelectOnlySql(tok: String, thresh: Double): String =
+  /** The shared TF-IDF core (A10/A11): `tok` → df/n/idf/v/nrm CTE
+    * prefix, identical text in both dialects. ONE copy — tfidf_micro,
+    * term_select, vocab_hits and the S11 term file all build on it, so
+    * a smoothing/threshold change cannot silently diverge between them.
+    * `idfKeepDf` carries the df column through (term_select re-reads it). */
+  private def tfidfCtes(tok: String, idfKeepDf: Boolean = false): String = {
+    val dfCol = if (idfKeepDf) "term, df, " else "term, "
     s"""WITH tok AS ($tok),
        |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
        |n AS (SELECT count(*) AS n FROM documents),
-       |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
+       |idf AS (SELECT ${dfCol}ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
        |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
-       |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
-       |mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)
+       |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Max-tfidf-per-term CTE (A12 selection input) over the core. */
+  private val tfidfMxCte =
+    "mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)"
+
+  /** Terms whose max tfidf ≥ `thresh` (A12 selection, term only). */
+  private def termSelectOnlySql(tok: String, thresh: Double): String =
+    s"""${tfidfCtes(tok)},
+       |$tfidfMxCte
        |SELECT term FROM mx WHERE mx >= $thresh""".stripMargin
 
   // ----------------------------------------------------------- UDF helpers
@@ -278,7 +299,7 @@ object SparkEntry {
     "s7_error_channel" -> shared(withSeeds(
       s"""t AS (SELECT 1)
          |SELECT seq, url,
-         |  CASE WHEN url NOT LIKE 'http%' THEN 'skip this file(scheme)'
+         |  CASE WHEN lower(url) NOT LIKE 'http%' THEN 'skip this file(scheme)'
          |       ELSE 'skip this file' END AS err
          |FROM seeds WHERE NOT (${Synth.fetchableWhere})""".stripMargin)),
 
@@ -364,13 +385,13 @@ object SparkEntry {
     // ---------------- robots.txt deny (parse+match in Scala vs SQL rule)
     "robots_filter" -> Q(
       (s, dir) => {
-        hostedView(s, dir)
+        val hv = hostedView(s, dir)
         val allowedUdf = udf { (host: String, url: String) =>
           graft.frontier.Robots
             .parse(graft.frontier.Robots.synthTxt(host))
             .isAllowed(graft.frontier.Robots.pathOf(url))
         }
-        s.sql("SELECT seq, url, host FROM hosted_m")
+        s.sql(s"SELECT seq, url, host FROM $hv")
           .withColumn("allowed", when(allowedUdf(col("host"), col("url")), 1).otherwise(0))
       },
       Some(Synth.duck(withSeeds(
@@ -383,9 +404,9 @@ object SparkEntry {
     // ---------------- politeness schedule + crawl order (window family)
     "w_politeness_schedule" -> Q(
       (s, dir) => {
-        hostedView(s, dir)
+        val hv = hostedView(s, dir)
         s.sql(
-          s"""WITH ${allowedCte.replace("FROM hosted", "FROM hosted_m")}, $scheduledCte
+          s"""WITH ${allowedCte.replace("FROM hosted", s"FROM $hv")}, $scheduledCte
              |SELECT seq, url, priority, host, host_rank, tokens, wave FROM scheduled""".stripMargin)
       },
       Some(Synth.duck(withSeeds(
@@ -394,7 +415,7 @@ object SparkEntry {
 
     "w_crawl_order" -> Q(
       (s, dir) => {
-        hostedView(s, dir)
+        val hv = hostedView(s, dir)
         // global crawl-order position WITHOUT a partitionless window
         // (one task's sort at scale): range-partitioned global sort +
         // zipWithIndex — the distributed form of row_number() OVER
@@ -402,7 +423,7 @@ object SparkEntry {
         // order (and thus every position) is deterministic
         import s.implicits._
         val base = s.sql(
-          s"""WITH ${allowedCte.replace("FROM hosted", "FROM hosted_m")}, $scheduledCte
+          s"""WITH ${allowedCte.replace("FROM hosted", s"FROM $hv")}, $scheduledCte
              |SELECT seq, url, wave, priority FROM scheduled""".stripMargin)
         s.createDataset(
           base.sort("wave", "priority", "seq")
@@ -483,11 +504,11 @@ object SparkEntry {
     // ---------------- skew plan (A: salting)
     "skew_salt_plan" -> Q(
       (s, dir) => {
-        hostedView(s, dir)
+        val hv = hostedView(s, dir)
         s.sql(
-          """SELECT host, count(*) AS cnt,
-            |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
-            |FROM hosted_m GROUP BY host""".stripMargin)
+          s"""SELECT host, count(*) AS cnt,
+             |  greatest(cast(1 as bigint), cast(ceil(count(*) / 1000.0) as bigint)) AS salts
+             |FROM $hv GROUP BY host""".stripMargin)
       },
       Some(Synth.duck(withSeeds(
         s"""$fetchableCte, $dedupCte, $hostedCte
@@ -530,16 +551,18 @@ object SparkEntry {
     "url_features_sets" -> Q(
       (s, dir) => {
         reg(s, dir)
+        // feature indices are constants — resolve once, not per row
+        val n3 = graft.features.UrlFeatureSets.set3Features.map(_._1)
+        val iPathDomLen = n3.indexOf("get_path_domain_length")
+        val iBrand = n3.indexOf("get_brandname")
+        val iLongUrl = n3.indexOf("get_long_url")
         val uf = udf((url: String) => {
           val s1 = graft.features.UrlFeatureSets.set1(url)
           val s2 = graft.features.UrlFeatureSets.set2s(url)
           val s4 = graft.features.UrlFeatureSets.set4(url)
           val s3 = graft.features.UrlFeatureSets.set3(url)
-          val n3 = graft.features.UrlFeatureSets.set3Features.map(_._1)
           (s1(0).toInt, s2(1).toInt, s2(3).toInt, s4(3).toInt,
-            s3(n3.indexOf("get_path_domain_length")).toInt,
-            s3(n3.indexOf("get_brandname")).toInt,
-            s3(n3.indexOf("get_long_url")).toInt)
+            s3(iPathDomLen).toInt, s3(iBrand).toInt, s3(iLongUrl).toInt)
         })
         s.sql(withSeeds(s"$fetchableCte SELECT seq, url FROM fetchable"))
           .withColumn("t", uf(col("url")))
@@ -648,12 +671,7 @@ object SparkEntry {
 
     "tfidf_micro" -> {
       def text(tok: String) =
-        s"""WITH tok AS ($tok),
-           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
-           |n AS (SELECT count(*) AS n FROM documents),
-           |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
-           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
-           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id)
+        s"""${tfidfCtes(tok)}
            |SELECT v.doc_id, v.term,
            |  cast(round(v.idf / m.nrm * 1000000, 0) as bigint) AS tfidf_micro
            |FROM v JOIN nrm m ON v.doc_id = m.doc_id""".stripMargin
@@ -662,13 +680,8 @@ object SparkEntry {
 
     "term_select" -> {
       def text(tok: String) =
-        s"""WITH tok AS ($tok),
-           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
-           |n AS (SELECT count(*) AS n FROM documents),
-           |idf AS (SELECT term, df, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
-           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
-           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
-           |mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)
+        s"""${tfidfCtes(tok, idfKeepDf = true)},
+           |$tfidfMxCte
            |SELECT x.term, d.df FROM mx x JOIN df d ON x.term = d.term WHERE x.mx >= 0.5""".stripMargin
       split2(text(sparkTokSql), text(duckTokSql))
     },
@@ -676,12 +689,7 @@ object SparkEntry {
     // J1: title terms × vocabulary membership (broadcast join shape)
     "vocab_hits" -> {
       def text(tok: String) =
-        s"""WITH tok AS ($tok),
-           |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
-           |n AS (SELECT count(*) AS n FROM documents),
-           |idf AS (SELECT term, ln((SELECT n FROM n) * 1.0 / df) + 1.0 AS idf FROM df),
-           |v AS (SELECT t.doc_id, t.term, i.idf FROM tok t JOIN idf i ON t.term = i.term),
-           |nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM v GROUP BY doc_id),
+        s"""${tfidfCtes(tok)},
            |sel AS (SELECT v.term FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term HAVING max(v.idf / m.nrm) >= 0.5)
            |SELECT t.doc_id, count(*) AS vocab_hits FROM tok t JOIN sel s ON t.term = s.term GROUP BY t.doc_id""".stripMargin
       split2(text(sparkTokSql), text(duckTokSql))
@@ -1169,6 +1177,12 @@ object SparkEntry {
           .select(col("doc_id"),
             (round(col("dec") * 1e6, 0) >= 0).cast("long").as("elm_pred"),
             round(col("dec") * 1e6, 0).cast("long").as("elm_decision_micro"))
+          // materialize BEFORE the unpersists: the returned frame is
+          // evaluated lazily by the caller, and recomputing the lineage
+          // uncached would re-run the float window-sum the collected
+          // vocab (and persisted model) were derived from — an activity
+          // set that drifted by one ulp would miss the vocIdx map
+          .localCheckpoint(true)
         toks.unpersist(); xr.unpersist()
         out
       },
@@ -1205,6 +1219,7 @@ object SparkEntry {
           .select(col("doc_id"),
             (round(col("dec") * 1e6, 0) > 0).cast("long").as("lcelm_pred"),
             round(col("dec") * 1e6, 0).cast("long").as("lcelm_decision_micro"))
+          .localCheckpoint(true) // materialize before the unpersist
         rows.unpersist()
         out
       },

@@ -68,19 +68,9 @@ object Synth {
       | AND NOT (lower(url) LIKE '%ico' OR lower(url) LIKE '%jpg' OR lower(url) LIKE '%png'
       |       OR lower(url) LIKE '%pdf' OR lower(url) LIKE '%bmp' OR lower(url) LIKE '%tiff')""".stripMargin
 
-  /** Crawler-domain canonicalization (spider.py:45-60) as shared-dialect
-    * SQL over a relation exposing `url` — the DuckDB-side independent
-    * re-implementation that cross-checks `Canonicalize.crawlerDomain`.
-    * Steps: substring after `//`, cut at first `/` else `?`, strip
-    * userinfo to first `@`, strip `:port` at last `:`. */
-  def crawlerDomainSql(urlCol: String): String = {
-    val d0 = s"substr($urlCol, instr($urlCol, '//') + 2)"
-    val d1 = s"""CASE WHEN instr($d0, '/') > 0 THEN substr($d0, 1, instr($d0, '/') - 1)
-                |     WHEN instr($d0, '?') > 0 THEN substr($d0, 1, instr($d0, '?') - 1)
-                |     ELSE $d0 END""".stripMargin
-    val d2 = s"CASE WHEN instr($d1, '@') > 0 THEN substr($d1, instr($d1, '@') + 1) ELSE $d1 END"
-    s"regexp_replace($d2, ':[^:]*$$', '')"
-  }
+  // (The crawler-domain canonicalization SQL replica lives ONLY in
+  // SparkEntry's hostedCte — a second copy here drifted silently and
+  // had no call sites, so it was removed.)
 
   /** Per-host politeness delay in ms — deterministic from the host
     * string alone so both dialects agree (stands in for a robots.txt
