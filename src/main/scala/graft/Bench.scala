@@ -157,7 +157,7 @@ object Bench {
 
   /** One full crawl+extract run synthesizing fixtures from `sfDir`. */
   def crawlRun(spark: SparkSession, sfDir: String, rep: Int = seedRep): (Long, Double) =
-    crawlRunOn(spark, Fixtures.pages(spark, sfDir, rep).toDF, Fixtures.seeds(spark, sfDir, rep), rep)
+    crawlRunOn(spark, Fixtures.pages(spark, sfDir, rep).toDF(), Fixtures.seeds(spark, sfDir, rep), rep)
 
   // headline query subset (heaviest, most representative operators)
   private val headline = Seq(
@@ -233,7 +233,7 @@ object Bench {
     val fixDir: Option[String] =
       if (scalingOn) {
         val d = java.nio.file.Files.createTempDirectory("graft-bench-fix-").toString
-        Fixtures.pages(spark, sfDir, seedRep).toDF.write.parquet(s"$d/pages")
+        Fixtures.pages(spark, sfDir, seedRep).toDF().write.parquet(s"$d/pages")
         Fixtures.seeds(spark, sfDir, seedRep).write.parquet(s"$d/seeds")
         Some(d)
       } else None

@@ -35,7 +35,10 @@ object Fixtures {
     val h = NetSynth.urlSeed(url)
     val warcEpoch = baseEpochSeconds + java.lang.Math.floorMod(h, 100000L)
     val text =
-      if (url.startsWith("ftp:")) SampleRender.renderFtp(url, s.content, s.net)
+      // scheme test case-insensitive, matching the engine dispatch and
+      // the lowered ftpWhere (spider.py:535 tests url.lower())
+      if (url.regionMatches(true, 0, "ftp:", 0, 4))
+        SampleRender.renderFtp(url, s.content, s.net)
       else {
         val verdict = Liveness.isAlive(Some(s.contentType), s.content, s.status)
         if (verdict.alive) SampleRender.render(url, s.content, s.net)

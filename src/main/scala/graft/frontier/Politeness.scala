@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   * the plan-time rank has a two-phase distributed form
   * ([[withTwoPhaseHostRank]], `twoPhaseRank = true`) for frontiers
   * where a single host's rows exceed one task. The downstream
-  * fetch/extract work is re-spread by [[Skew.salt]] either way.
+  * fetch/extract work needs no host salting at all: the engine hash-
+  * partitions by URL (`CrawlWave` repartitions pages/slices on `url`),
+  * so a hot host's rows are already spread across every partition —
+  * salting is a remedy for host-KEYED stages, and the plan rank here
+  * is the only one (the per-wave metrics agg keys on
+  * (wave, partition_id, host), which partial aggregation + the
+  * partition-id component keep skew-free).
   */
 object Politeness {
 
@@ -111,14 +117,15 @@ object Politeness {
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", sum(col("__cnt")).over(wCum) - col("__cnt"))
       .drop("__cnt")
-    // join back NULL-SAFE on priority (<=>): a caller-supplied frame
-    // can carry null priorities, which the window form ranks (nulls
-    // first under asc) — a plain equi-join would silently drop them
+    // join back NULL-SAFE on host AND priority (<=>): a caller-supplied
+    // frame can carry nulls in either column, which the window form
+    // ranks (nulls first under asc) — a plain equi-join would silently
+    // DROP those rows, not just misrank them
     val off2 = offsets.withColumnRenamed("host", "__oh")
       .withColumnRenamed("priority", "__op")
       .withColumnRenamed("__chunk", "__oc")
     withChunk.withColumn("__lr", row_number().over(wLocal))
-      .join(off2, col("host") === col("__oh") &&
+      .join(off2, (col("host") <=> col("__oh")) &&
         (col("priority") <=> col("__op")) && col("__chunk") === col("__oc"))
       .withColumn("host_rank", (col("__lr") + col("__off")).cast("int"))
       .drop("__chunk", "__lr", "__off", "__oh", "__op", "__oc")
@@ -130,26 +137,11 @@ object Politeness {
       .drop("host_rank", "tokens", "rel_wave")
 }
 
-/** Host-domain skew handling (SURVEY.md §4.3): two-level salting.
-  * `saltsFor(host)` scales with the host's row count this wave, so one
-  * hot host's fetch/extract work spreads over many tasks instead of one
-  * straggler partition. */
-object Skew {
-
-  /** Add a `salt` column: pmod(xxhash64(url), salts(host)) where
-    * salts(host) = ceil(cnt / rowsPerSalt), computed per wave from a
-    * cheap groupBy(host).count (tiny aggregate, broadcast back). */
-  def salt(rows: DataFrame, rowsPerSalt: Long = 10000L): DataFrame = {
-    val counts = rows.groupBy("host").agg(count(lit(1)).as("host_cnt"))
-    rows.join(broadcast(counts), "host")
-      .withColumn("salts", greatest(lit(1L), ceil(col("host_cnt").cast("double") / rowsPerSalt).cast("long")))
-      .withColumn("salt", pmod(xxhash64(col("url")), col("salts")).cast("int"))
-      .drop("host_cnt", "salts")
-  }
-
-  /** Spread the wave's work by the salted key before the heavy map
-    * stages. Range partitioning keeps same-host-same-salt rows together
-    * (politeness accounting stays local) while splitting hot hosts. */
-  def spread(salted: DataFrame, partitions: Int): DataFrame =
-    salted.repartitionByRange(partitions, col("host"), col("salt"), col("seq"))
-}
+// (A standalone host-salting utility used to live here. It was never
+// wired into the fetch path — hash-partitioning by URL spreads hot
+// hosts without it (see the Politeness doc above), and the plan-time
+// rank has its own two-phase defense — so the dead mechanism was
+// removed rather than left implying salting runs somewhere. The
+// salt-count computation itself survives as the oracled
+// `skew_salt_plan` query, the plan artifact a host-keyed deployment
+// stage would consume.)

@@ -145,7 +145,13 @@ object Robots {
     if (i < 0) return if (url.startsWith("/")) url else "/"
     val rest = url.substring(i + 2)
     val s = rest.indexOf('/')
-    if (s < 0) "/" else rest.substring(s)
+    if (s >= 0) rest.substring(s)
+    else {
+      // no path but a query: RFC 9309 matches path-plus-query, so
+      // 'http://host?q=1' must test as '/?q=1', not '/'
+      val q = rest.indexOf('?')
+      if (q >= 0) "/" + rest.substring(q) else "/"
+    }
   }
 
   // ------------------------------------------------------- fixture synth

@@ -3,7 +3,7 @@ package graft.jobs
 import graft.crawl.Liveness
 import graft.features.{ExtractConfig, ExtractorSet5}
 import graft.fixtures.NetSynth
-import graft.frontier.{Politeness, Robots, SeenFilter, Skew}
+import graft.frontier.{Politeness, Robots, SeenFilter}
 import graft.parse.{Blocks, CharsetDecode, SampleRender}
 import graft.store.SnapshotTable
 import graft.urls.Canonicalize
@@ -242,7 +242,10 @@ object CrawlWave {
       // requests-exception analogue (spider.py:208-244, S7)
       OutcomeK(r.seq, r.url, r.host, r.wave, ok = false, "fetch failed (no response)",
         null, null, render_match = false, r.url_hash, Nil)
-    case Some(bytes) if r.url.startsWith("ftp:") =>
+    case Some(bytes) if r.url.regionMatches(true, 0, "ftp:", 0, 4) =>
+      // scheme tests are case-insensitive, like initFrontier's dispatch
+      // (spider.py:535 tests url.lower()) — 'FTP://…' must not fall
+      // through to the HTTP decode/liveness/render pipeline
       // S8 FTP path (spider.py:113-161): content decoded utf-8 with
       // replacement (`r.decode('utf-8', errors='replace')`, :158 — no
       // meta-charset sniff, no ladder), NO liveness screen (the
@@ -721,11 +724,26 @@ final class CrawlWave(
     val isLast = wave == planMaxWave
 
     def doCommit(): Int = {
+      // The REBUILD base must be the PREDECESSOR COMMIT's blobs, not the
+      // stale guard snapshot bound at the top of step(): the guard may
+      // read stale blobs (planned waves are URL-disjoint), but a rebuild
+      // from a pre-predecessor base would permanently drop the previous
+      // wave's keys from every partition of the REPLACED seen_bloom
+      // table — a future false NEGATIVE, the one unacceptable seen-set
+      // error. doCommit always runs after awaitPending() (both paths),
+      // so blobState here is exactly the predecessor's merge result.
+      val baseBlobs: Array[(Int, Array[Byte])] =
+        if (blobState != null) blobState else blobs
+      val rebuildBc =
+        if (baseBlobs eq blobs) bloomBc
+        else spark.sparkContext.broadcast(
+          baseBlobs.map { case (p, b) =>
+            p -> SeenFilter.deserialize(filterKind, b) }.toMap)
       val updatedBlobs =
         seenDelta.as[(Int, Long)]
           .groupByKey(_._1)
           .mapGroups { (p, it) =>
-            val f = bloomBc.value.get(p).map(_.copyOf).getOrElse(
+            val f = rebuildBc.value.get(p).map(_.copyOf).getOrElse(
               SeenFilter.fresh(filterKind, bloomBits, bloomHashes, cuckooCap))
             it.foreach(t => f.put(t._2))
             (p, f.serialize)
@@ -733,7 +751,7 @@ final class CrawlWave(
           .collect()
       val touched = updatedBlobs.map(_._1).toSet
       val mergedBlobs = updatedBlobs ++
-        blobs.filter { case (p, _) => !touched.contains(p) }
+        baseBlobs.filter { case (p, _) => !touched.contains(p) }
       val blobsDf = spark.createDataset(mergedBlobs.toSeq).toDF("part", "blob")
       val replaceTables =
         if (!isLast) Map("seen_bloom" -> blobsDf)

@@ -87,8 +87,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(
         s"snapshot conflict: latest=$parent expectedParent=$expectedParent")
     val v = parent.getOrElse(0) + 1
+    // parse the parent manifest ONCE — tables/views/schemas all derive
+    // from it, and commit sits on the per-wave serial path
+    val parentNode = parent.map(manifestNode)
     val parentTables: Map[String, Seq[String]] =
-      parent.map(tableDirs).getOrElse(Map.empty)
+      parentNode.map(tableDirsOf).getOrElse(Map.empty)
 
     (replace.keySet intersect append.keySet).foreach { t =>
       throw new IllegalArgumentException(s"table $t in both replace and append")
@@ -119,8 +122,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         }
       }), Duration.Inf).toMap
 
+    // appendRef-only tables must appear in the map too (with no data
+    // dirs) — read() resolves the table entry BEFORE consulting views,
+    // so a table whose rows arrive exclusively via ViewRefs would
+    // otherwise be unreadable
     val tables: Map[String, Seq[String]] =
-      (parentTables.keySet ++ replace.keySet ++ append.keySet).map { name =>
+      (parentTables.keySet ++ replace.keySet ++ append.keySet ++ appendRef.keySet).map { name =>
         val prior = parentTables.getOrElse(name, Nil)
         val dirs =
           if (replace.contains(name)) written.get(name).toSeq
@@ -134,7 +141,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // group's shape extends its dir list, a new shape appends a group.
     // Replacing a table drops its views (the replace IS the full data).
     val parentViews: Map[String, Seq[ViewRef]] =
-      parent.map(viewsOf).getOrElse(Map.empty) -- replace.keySet
+      parentNode.map(viewsOfNode).getOrElse(Map.empty) -- replace.keySet
     val views: Map[String, Seq[ViewRef]] = parentViews ++ appendRef.map { case (name, vr) =>
       val groups = parentViews.getOrElse(name, Nil)
       val i = groups.indexWhere(p =>
@@ -144,7 +151,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     // schemas carried forward so empty-dirs tables stay readable
     val schemas: Map[String, String] =
-      parent.map(schemasOf).getOrElse(Map.empty) ++
+      parentNode.map(schemasOfNode).getOrElse(Map.empty) ++
         (replace ++ append).map { case (name, df) => name -> df.schema.toDDL }
 
     Files.createDirectories(manifestsDir)
@@ -154,12 +161,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     v
   }
 
-  /** The metadata-only view groups of `version` (empty for pre-view
-    * manifests; a single-object legacy entry reads as a 1-group list). */
-  def viewsOf(version: Int): Map[String, Seq[ViewRef]] = {
-    val node = mapper.readTree(Files.readString(manifestPath(version)))
+  private type Json = com.fasterxml.jackson.databind.JsonNode
+
+  /** One parse per manifest consultation — the derived maps below all
+    * accept the parsed node, public per-version wrappers parse once. */
+  private def manifestNode(version: Int): Json =
+    mapper.readTree(Files.readString(manifestPath(version)))
+
+  private def viewsOfNode(node: Json): Map[String, Seq[ViewRef]] = {
     val vn = node.get("views")
-    def one(o: com.fasterxml.jackson.databind.JsonNode) = ViewRef(
+    def one(o: Json) = ViewRef(
       o.get("base").asText(),
       o.get("dirs").elements().asScala.map(_.asText()).toSeq,
       o.get("where").asText(),
@@ -171,28 +182,38 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }.toMap
   }
 
-  /** Per-table schema DDL recorded by `commit` (empty for pre-schema
-    * manifests). */
-  def schemasOf(version: Int): Map[String, String] = {
-    val node = mapper.readTree(Files.readString(manifestPath(version)))
+  private def schemasOfNode(node: Json): Map[String, String] = {
     val s = node.get("schemas")
     if (s == null) Map.empty
     else s.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
-  /** The data directories composing `table` at `version`. */
-  def tableDirs(version: Int): Map[String, Seq[String]] = {
-    val node = mapper.readTree(Files.readString(manifestPath(version)))
+  private def tableDirsOf(node: Json): Map[String, Seq[String]] = {
     val tables = node.get("tables")
     tables.properties().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
     }.toMap
   }
 
+  /** The metadata-only view groups of `version` (empty for pre-view
+    * manifests; a single-object legacy entry reads as a 1-group list). */
+  def viewsOf(version: Int): Map[String, Seq[ViewRef]] =
+    viewsOfNode(manifestNode(version))
+
+  /** Per-table schema DDL recorded by `commit` (empty for pre-schema
+    * manifests). */
+  def schemasOf(version: Int): Map[String, String] =
+    schemasOfNode(manifestNode(version))
+
+  /** The data directories composing `table` at `version`. */
+  def tableDirs(version: Int): Map[String, Seq[String]] =
+    tableDirsOf(manifestNode(version))
+
   def read(table: String, version: Int): DataFrame = {
-    val dirs = tableDirs(version).getOrElse(table,
+    val node = manifestNode(version)
+    val dirs = tableDirsOf(node).getOrElse(table,
       throw new NoSuchElementException(s"table $table not in snapshot v$version"))
-    val groups = viewsOf(version).getOrElse(table, Nil)
+    val groups = viewsOfNode(node).getOrElse(table, Nil)
     val dirFrame =
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*))
@@ -210,7 +231,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case (None, None) =>
         // never materialized (only statically-empty writes so far):
         // synthesize the empty frame from the manifest-recorded schema
-        val ddl = schemasOf(version).getOrElse(table,
+        val ddl = schemasOfNode(node).getOrElse(table,
           throw new NoSuchElementException(s"table $table has no data and no schema at v$version"))
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))

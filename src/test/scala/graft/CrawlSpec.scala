@@ -169,6 +169,21 @@ class CrawlSpec extends AnyFunSuite {
     assert(key(st) == key(store))
     assert(st.readLatest("samples").get.count() ==
       store.readLatest("samples").get.count())
+    // no-false-negative invariant over the PIPELINED blob chain: every
+    // exactly-seen key must be answered by the final REPLACED seen_bloom
+    // — a rebuild from a stale (pre-predecessor) base silently drops the
+    // previous wave's keys from every partition
+    val c = cfg(4)
+    val blobMap = st.readLatest("seen_bloom").get
+      .as[(Int, Array[Byte])].collect()
+      .map { case (p, b) => p -> graft.frontier.SeenFilter.deserialize(c.seenFilter, b) }
+      .toMap
+    val missing = st.readLatest("seen").get.select("url_hash").as[Long].collect()
+      .count { h =>
+        val p = java.lang.Math.floorMod(h, c.seenPartitions.toLong).toInt
+        !blobMap.get(p).exists(_.mightContain(h))
+      }
+    assert(missing == 0, s"$missing seen keys missing from the final bloom blobs")
   }
 
   test("cuckoo seen-filter produces the identical crawl (bloom/cuckoo interchangeable)") {
@@ -217,6 +232,16 @@ class CrawlSpec extends AnyFunSuite {
     val gotN = Politeness.withTwoPhaseHostRank(dfN.repartition(3))
       .select("seq", "host_rank").as[(Long, Int)].collect().toMap
     assert(gotN == expectedN, "two-phase rank dropped/misranked null priorities")
+    // null HOSTS likewise: the window form ranks them in one null
+    // partition; the join-back must be null-safe on host too, or the
+    // rows vanish entirely (inner equi-join never matches null to null)
+    val dfH = df.withColumn("host",
+      when(col("seq") % 13 === 0, lit(null).cast("string")).otherwise(col("host")))
+    val expectedH = dfH.withColumn("host_rank", row_number().over(w))
+      .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+    val gotH = Politeness.withTwoPhaseHostRank(dfH.repartition(3))
+      .select("seq", "host_rank").as[(Long, Int)].collect().toMap
+    assert(gotH == expectedH, "two-phase rank dropped/misranked null hosts")
   }
 
   test("scalableRank crawl produces the identical frontier") {
@@ -433,6 +458,26 @@ class CrawlSpec extends AnyFunSuite {
     val ftpRows = frontier.where(col("url").startsWith("ftp:"))
     assert(ftpRows.count() > 0)
     assert(ftpRows.where(col("state") =!= "dropped_scheme").count() == 0)
+  }
+
+  test("S8: uppercase FTP scheme routes through the FTP pipeline end-to-end") {
+    import spark.implicits._
+    // engine dispatch, fixture golden and ftpWhere must agree on
+    // case-insensitive schemes — a case-sensitive fetchOutcome would
+    // push this URL through the HTTP decode/liveness/render path
+    val url = (1 to 50).map(i => s"FTP://h$i.example.com/p/$i")
+      .find(u => !NetSynth.isFetchMiss(u)).get
+    val pages = Seq(graft.fixtures.Fixtures.pageFor(url).get).toDS.toDF
+    val seeds = Seq((1L, url)).toDF("seq", "url")
+    val root = Files.createTempDirectory("crawl-ftpuc-").toString
+    val st = new SnapshotTable(spark, root)
+    new CrawlWave(spark, pages, st, cfg(4).copy(fetchFtp = true)).runAll(seeds)
+    val rows = st.readLatest("samples").get
+      .select("url", "text", "render_match").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == url)
+    assert(rows(0).getBoolean(2), "render must match the FTP golden byte-for-byte")
+    val text = rows(0).getString(1)
+    assert(!text.contains("<=HEADER BEGIN=>") && text.contains("<=TIMER BEGIN=>"))
   }
 
   test("S2/S3: dispatch tests url.lower() with DOTLESS suffixes (spider.py:526-535)") {

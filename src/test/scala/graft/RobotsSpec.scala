@@ -71,6 +71,10 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.pathOf("http://user@h.com:8080/p/3?q=1") == "/p/3?q=1")
     assert(Robots.pathOf("https://h.com") == "/")
     assert(Robots.pathOf("relative/x") == "/")
+    // query with NO path: RFC 9309 matches path-plus-query, so a rule
+    // like `Disallow: /?q` must see "/?q=1", not a bare "/"
+    assert(Robots.pathOf("http://h.com?q=1") == "/?q=1")
+    assert(Robots.pathOf("http://h.com:8080?q=1") == "/?q=1")
   }
 
   test("fixture synth: crawl-delay equals the Politeness formula; deny rule = len%3") {

@@ -34,6 +34,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.latestVersion.contains(100000))
   }
 
+  test("a table whose rows arrive ONLY via appendRef is readable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-refonly-").toString
+    val st = new SnapshotTable(spark, root)
+    // pre-written parquet the ref adopts (the ViewRef pattern: existing
+    // data files become table rows without a second write)
+    val base = "scratch/pre"
+    Seq((1, "a", true), (2, "b", false)).toDF("id", "s", "ok")
+      .write.parquet(java.nio.file.Paths.get(root, base, "wave=0").toString)
+    val v = st.commit(appendRef = Map("only_ref" -> SnapshotTable.ViewRef(
+      base, Seq(s"$base/wave=0"), "ok", Seq("id", "s"))))
+    // the manifest must carry the table entry (no data dirs) so read()
+    // resolves it and serves the view rows
+    val got = st.read("only_ref", v).collect()
+    assert(got.map(_.getInt(0)).toSet == Set(1))
+    // a later plain append composes with the ref rows
+    val v2 = st.commit(append = Map("only_ref" -> Seq((3, "c")).toDF("id", "s")))
+    assert(st.read("only_ref", v2).count() == 2)
+  }
+
   test("append tables accumulate deltas across versions; time travel works") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
