@@ -196,6 +196,11 @@ object Bench {
     try SparkEntry.queries("token_counts")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // groups of queries that timed out while still in driver-side
+    // planning (no active job yet → the one-shot cancel was a no-op):
+    // re-cancel them before every later timed section so their
+    // eventually-submitted jobs cannot contaminate subsequent timings
+    val staleGroups = scala.collection.mutable.ArrayBuffer[String]()
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val reserve = 0.60 * budget
@@ -203,6 +208,7 @@ object Bench {
         else {
           val cap = math.min(120.0, remaining - reserve).max(5.0)
           val sc = spark.sparkContext
+          staleGroups.foreach(sc.cancelJobGroup)
           val t0 = System.nanoTime()
           // the group must be set ON THE EXECUTING THREAD: job-group is
           // a thread-local, and a pool thread reused from an earlier
@@ -217,6 +223,7 @@ object Bench {
             catch {
               case _: TimeoutException =>
                 sc.cancelJobGroup(s"bench-$name")
+                staleGroups += s"bench-$name"
                 -(System.nanoTime() - t0) / 1e9
               case _: Throwable => -(System.nanoTime() - t0) / 1e9
             }
@@ -224,6 +231,7 @@ object Bench {
         }
       }
     }
+    staleGroups.foreach(spark.sparkContext.cancelJobGroup)
 
     // 2. the north-metric crawl at full parallelism, over the SAME
     // pre-materialized fixtures the scaling forks read (synthesized
@@ -317,8 +325,16 @@ object Bench {
           val outF = Future(new String(proc.getInputStream.readAllBytes()))
           val capSec = math.min(remaining - 15.0, 480.0).max(30.0)
           val done = proc.waitFor(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-          if (!done) { proc.destroyForcibly(); proc.waitFor() }
-          val out = Await.result(outF, 15.seconds)
+          // bounded post-kill wait + guarded drain: a child stuck in
+          // uninterruptible I/O (or a pipe that never reaches EOF) must
+          // cost seconds, not hang the whole bench past its budget
+          if (!done) {
+            proc.destroyForcibly()
+            proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+          }
+          val out =
+            try Await.result(outF, 15.seconds)
+            catch { case _: Throwable => "" }
           out.linesIterator.find(_.startsWith("RESULT ")) match {
             case Some(l) =>
               val parts = l.split(" ")
@@ -330,7 +346,12 @@ object Bench {
         }
         def better(a: (Long, Double), b: (Long, Double)): (Long, Double) =
           if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
-        def j(d: Double): String = if (d.isNaN) "null" else d.toString
+        // guard infinities too: a window with zero completed pairs makes
+        // eff() -Infinity and a zero-second leg makes urls/sec Infinity —
+        // either would render the result line invalid JSON exactly in
+        // the failure mode the always-parseable design exists for
+        def j(d: Double): String =
+          if (d.isNaN || d.isInfinite) "null" else d.toString
 
         // PAIRWISE efficiency: this host's effective speed for the
         // crawl's memory-heavy profile drifts SLOWLY over tens of

@@ -33,8 +33,12 @@ object BenchOne {
     // the scaling analysis hunts
     if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          println(s"JOBSTART ${js.jobId} ${js.time} ${Option(js.properties.getProperty("spark.job.description")).getOrElse("")} ${Option(js.properties.getProperty("callSite.short")).getOrElse("")}")
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // properties itself may be null (job with no local properties)
+          def p(k: String) =
+            Option(js.properties).flatMap(ps => Option(ps.getProperty(k))).getOrElse("")
+          println(s"JOBSTART ${js.jobId} ${js.time} ${p("spark.job.description")} ${p("callSite.short")}")
+        }
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           println(s"JOBEND ${je.jobId} ${je.time}")
       })

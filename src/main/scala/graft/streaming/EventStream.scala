@@ -40,7 +40,10 @@ object EventStream {
         col("event_type"), col("n"), col("value_micro"))
 
   private def finish(uid: Long, a: SessionAcc): Session =
-    Session(uid, a.startMs / 1000L, a.lastMs / 1000L, a.n, math.rint(a.total * 1e6).toLong)
+    // HALF_UP like both SQL oracles' round() — math.rint (half-even)
+    // would diverge by 1 micro on exact .5 ties
+    Session(uid, a.startMs / 1000L, a.lastMs / 1000L, a.n,
+      BigDecimal(a.total * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
 
   /** Gap-based sessionization with `flatMapGroupsWithState`:
     * sessions close after `gapSec` of event-time silence.
@@ -104,11 +107,11 @@ object EventStream {
     * of session starts. */
   def sessionizeSqlSpark(gapSec: Long): String =
     s"""WITH l AS (
-       |  SELECT user_id, event_id, value, unix_timestamp(ts) AS es,
+       |  SELECT user_id, event_id, value, ts, unix_timestamp(ts) AS es,
        |         lag(unix_timestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
        |  FROM events),
        |m AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > $gapSec THEN 1 ELSE 0 END AS is_new FROM l),
-       |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
        |SELECT user_id, session_id, count(*) AS n_events,
        |  min(es) AS session_start_epoch, max(es) AS session_end_epoch,
@@ -119,11 +122,11 @@ object EventStream {
     * floored to whole seconds to match Spark's unix_timestamp). */
   def sessionizeSqlDuck(gapSec: Long): String =
     s"""WITH l AS (
-       |  SELECT user_id, event_id, value, cast(floor(epoch(ts)) as bigint) AS es,
+       |  SELECT user_id, event_id, value, ts, cast(floor(epoch(ts)) as bigint) AS es,
        |         lag(cast(floor(epoch(ts)) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
        |  FROM events),
        |m AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > $gapSec THEN 1 ELSE 0 END AS is_new FROM l),
-       |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
        |SELECT user_id, cast(session_id as bigint) AS session_id, count(*) AS n_events,
        |  min(es) AS session_start_epoch, max(es) AS session_end_epoch,

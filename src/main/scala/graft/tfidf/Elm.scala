@@ -39,6 +39,18 @@ final case class ElmModel(
 
 object Elm {
 
+  /** RDD.reduce with a clear contract error on an empty training set:
+    * the driver-side train guards with require(x.nonEmpty); the
+    * distributed Gram paths would otherwise surface Spark's cryptic
+    * "empty collection" UnsupportedOperationException. */
+  private[tfidf] def gramReduce[T](rdd: org.apache.spark.rdd.RDD[T])(f: (T, T) => T): T =
+    try rdd.reduce(f)
+    catch {
+      case e: UnsupportedOperationException =>
+        throw new IllegalArgumentException(
+          "distributed ELM training: empty training set", e)
+    }
+
   def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
   /** Seeded random hidden layer (uniform in [-1, 1], the
@@ -72,7 +84,7 @@ object Elm {
       ridge: Double = 1e-8): ElmModel = {
     val (w, b) = hiddenLayer(nFeatures, nHidden, seed)
     val bc = rows.sparkSession.sparkContext.broadcast((w, b))
-    val (gram, gy) = rows.rdd.mapPartitions { it =>
+    val (gram, gy) = Elm.gramReduce(rows.rdd.mapPartitions { it =>
       val (w, b) = bc.value
       val h = w.length
       val g = new Array[Double](h * h)
@@ -93,7 +105,7 @@ object Elm {
         }
       }
       if (any) Iterator.single((g, v)) else Iterator.empty
-    }.reduce { (l, r) =>
+    }) { (l, r) =>
       var i = 0; while (i < l._1.length) { l._1(i) += r._1(i); i += 1 }
       i = 0; while (i < l._2.length) { l._2(i) += r._2(i); i += 1 }
       l
@@ -182,7 +194,7 @@ object LcElm {
     // caller's full featurization lineage
     val rowsP = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: every member's (HᵀH, Hᵀy±) in one scan
-    val grams = rowsP.rdd.mapPartitions { it =>
+    val grams = Elm.gramReduce(rowsP.rdd.mapPartitions { it =>
       val ls = layersBc.value
       val g = Array.fill(m)(new Array[Double](h * h))
       val v = Array.fill(m)(new Array[Double](h))
@@ -207,7 +219,7 @@ object LcElm {
         }
       }
       if (any) Iterator.single((g, v)) else Iterator.empty
-    }.reduce { (l, r) =>
+    }) { (l, r) =>
       for (mi <- 0 until m) {
         var i = 0; while (i < h * h) { l._1(mi)(i) += r._1(mi)(i); i += 1 }
         i = 0; while (i < h) { l._2(mi)(i) += r._2(mi)(i); i += 1 }
@@ -222,7 +234,7 @@ object LcElm {
     val membersBc = sc.broadcast(members)
     // pass 2: combiner Gram over the vote matrix F (raw 0/1 targets —
     // lc-elm.py:61-63, quirk preserved)
-    val (ftf, fty) = rowsP.rdd.mapPartitions { it =>
+    val (ftf, fty) = Elm.gramReduce(rowsP.rdd.mapPartitions { it =>
       val ms = membersBc.value
       val g = new Array[Double](m * m)
       val v = new Array[Double](m)
@@ -242,7 +254,7 @@ object LcElm {
         }
       }
       if (any) Iterator.single((g, v)) else Iterator.empty
-    }.reduce { (l, r) =>
+    }) { (l, r) =>
       var i = 0; while (i < m * m) { l._1(i) += r._1(i); i += 1 }
       i = 0; while (i < m) { l._2(i) += r._2(i); i += 1 }
       l

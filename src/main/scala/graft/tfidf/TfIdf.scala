@@ -70,8 +70,9 @@ object TfIdf {
   def elmTrainMatrix(m: Model, selected: Seq[Int], percent: Double): (Array[Array[Double]], Array[Double]) = {
     val x = Array.ofDim[Double](m.tfidf.length, selected.size)
     val y = new Array[Double](m.tfidf.length)
-    for (r <- m.tfidf.indices; (j, c) <- selected.zipWithIndex) {
-      if (m.tfidf(r)(j) >= percent) { x(r)(c) = 1.0; y(r) = 1.0 }
+    val sel = selected.toArray // zipped once, not re-built per doc row
+    for (r <- m.tfidf.indices; c <- sel.indices) {
+      if (m.tfidf(r)(sel(c)) >= percent) { x(r)(c) = 1.0; y(r) = 1.0 }
     }
     (x, y)
   }

@@ -54,6 +54,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.length == 2)
   }
 
+  test("SQL sessionizer: is_new and the running sum share one ordering (intra-second boundary)") {
+    import spark.implicits._
+    // two boundary rows in the SAME second whose event_id order opposes
+    // their sub-second ts order: if the running sum ordered by
+    // (es, event_id) while lag ordered by (ts, event_id), the later-ts
+    // row would start the new session and the earlier one would attach
+    // to the OLD session — violating the gap invariant and diverging
+    // from the stateful path
+    def t(ms: Long) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + ms)
+    val e = Seq(
+      Ev(1, t(500), 7, 1.0),                 // session 1
+      Ev(9, t(600L * 1000 + 100), 7, 1.0),   // new session, ts .1
+      Ev(2, t(600L * 1000 + 900), 7, 1.0))   // same second, ts .9, LOWER id
+    val stateful = EventStream.sessionize(spark.createDataset(e), gapSec = 60, emitOpen = true)
+      .collect().sortBy(_.session_start_epoch)
+    assert(stateful.map(_.n_events).toSeq == Seq(1, 2))
+    e.toDF("event_id", "ts", "user_id", "value").createOrReplaceTempView("events")
+    val sqlOut = spark.sql(EventStream.sessionizeSqlSpark(60))
+      .collect().map(r => (r.getLong(3), r.getLong(2))) // (start_epoch, n)
+      .sortBy(_._1)
+    assert(sqlOut.map(_._2).toSeq == Seq(1L, 2L),
+      "SQL oracle split sessions differently from the stateful path")
+  }
+
   test("streaming sessionization: state carries across micro-batches, timeout closes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
