@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale text corpora.
   *
@@ -23,9 +22,17 @@ import org.apache.spark.sql.expressions.Window
   *    candidates (never the full cross product).
   *
   * At 100 TB the band-bucket `collect_list` is bounded by
-  * `maxBucket` (oversized buckets are dropped and counted — they are
-  * degenerate near-identical clusters; a production run routes them to a
-  * cluster-representative pass instead of pairwise expansion).
+  * `maxBucket`: oversized buckets are dropped SILENTLY BY POLICY — they
+  * are degenerate near-identical clusters a production run routes to a
+  * cluster-representative pass instead of pairwise expansion. The
+  * consequence is a recall contract: the sketch operators' exactness
+  * claims (simhash Hamming ≤ 3 pigeonhole; the portable minhash/SQL
+  * equality) hold only while no band bucket exceeds `maxBucket` —
+  * raise it (or pre-collapse exact duplicates) when a corpus can put
+  * more than `maxBucket` near-identical documents in one bucket.
+  *
+  * Ids are numeric (cast to long) in every operator, so the
+  * smallest-id keeper rule is numeric min everywhere.
   */
 object Dedup {
 
@@ -33,13 +40,24 @@ object Dedup {
     * Output: one row per distinct content with its duplicate count. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .agg(min(col(idCol).cast("long")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   // ---------------------------------------------------------------- MinHash
 
   /** splitmix64 finalizer — deterministic per-index hash constants
     * (shared single copy: [[PortableHash.mix64]]). */
   private def mix64(z0: Long): Long = PortableHash.mix64(z0)
+
+  /** Within-bucket ordered pair expansion over a `members` array of
+    * `struct(id, …)`: members[i] × members[j > i] → struct with
+    * least/greatest ids plus `payload` fields projected from the `x`/`y`
+    * sides. ONE copy of the slice arithmetic every bucketed operator
+    * shares (minhash ×2, simhash, embedding LSH). */
+  private def pairExpansion(payload: String): String =
+    s"""flatten(transform(members, (x, i) ->
+       |  transform(slice(members, i + 2, size(members)), y ->
+       |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+       |           $payload))))""".stripMargin
 
   /** Distinct char k-shingles of a text, each hashed to a Long. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
@@ -105,8 +123,8 @@ object Dedup {
       maxBucket: Int = 2000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = bands; val rowsPerBand = numHashes / bands
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
 
     val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
@@ -114,7 +132,7 @@ object Dedup {
       .toDF("id", "sig")
 
     val banded = sigs.select(col("id"), col("sig"),
-      explode(sequence(lit(0), lit(rows - 1))).as("band"))
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
 
@@ -122,11 +140,8 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
 
-    val pairs = buckets.select(explode(expr(
-      """flatten(transform(members, (x, i) ->
-        |  transform(slice(members, i + 2, size(members)), y ->
-        |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-        |           x.sig as sa, y.sig as sb))))""".stripMargin)).as("p"))
+    val pairs = buckets.select(
+      explode(expr(pairExpansion("x.sig as sa, y.sig as sb"))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 
@@ -205,11 +220,7 @@ object Dedup {
     val pairs = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(members, (x, i) ->
-          |  transform(slice(members, i + 2, size(members)), y ->
-          |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-          |           x.sig as sa, y.sig as sb))))""".stripMargin)).as("p"))
+      .select(explode(expr(pairExpansion("x.sig as sa, y.sig as sb"))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 
@@ -217,7 +228,9 @@ object Dedup {
       .withColumn("eq", expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"))
       .where(col("eq") >= lit(math.ceil(threshold * numHashes).toInt))
       .select(col("a_id"), col("b_id"),
-        (col("eq") * lit(1000000L / numHashes)).cast("long").as("est_jaccard_micro"))
+        // integer division LAST: eq * (1000000 / numHashes) truncates
+        // the per-slot weight whenever numHashes does not divide 1e6
+        expr(s"eq * 1000000 div $numHashes").cast("long").as("est_jaccard_micro"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -280,10 +293,13 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     * Blocking: 4×16-bit bands; Hamming ≤ 3 guarantees a shared band
-    * (pigeonhole), so results are EXACT for `maxHamming` ≤ 3; beyond
-    * that recall is partial (candidates must still collide on a band).
-    * `portable = true` switches the fingerprint to [[simhash64Md5]] so
-    * a SQL oracle can recompute it. */
+    * (pigeonhole), so results are EXACT for `maxHamming` ≤ 3 — PROVIDED
+    * no band bucket exceeds `maxBucket` (see the module doc's recall
+    * contract; a corpus with more than `maxBucket` near-identical
+    * documents needs a larger cap or an exact-dedup pre-pass). Beyond
+    * Hamming 3 recall is partial (candidates must still collide on a
+    * band). `portable = true` switches the fingerprint to
+    * [[simhash64Md5]] so a SQL oracle can recompute it. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -306,19 +322,19 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
       .select(explode(expr(
-        """flatten(transform(members, (x, i) ->
-          |  transform(slice(members, i + 2, size(members)), y ->
-          |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-          |           bit_count(x.sig ^ y.sig) as hamming))))""".stripMargin)).as("p"))
+        pairExpansion("bit_count(x.sig ^ y.sig) as hamming"))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
       .dropDuplicates("a_id", "b_id")
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard on the given candidate pairs (or, when
-    * `pairs` is None and the doc count is tiny, all pairs): distinct
-    * char k-gram sets intersected via an explode+join — the exact
-    * verifier behind the sketch-based candidates above. */
+  /** Exact pairwise n-gram Jaccard over ALL pairs of the GIVEN frame:
+    * distinct char k-gram sets intersected via an explode + self-join —
+    * the exact verifier behind the sketch-based candidates above.
+    * CALLERS bound the input (a sketch-candidate subset or a small
+    * sample, e.g. the `dedup_ngram_jaccard` query's doc_id % 50 slice):
+    * the gram self-join is quadratic in per-gram frequency, so feeding
+    * a full corpus would blow up on common grams. */
   def ngramJaccardAllPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -395,11 +411,8 @@ object Dedup {
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
-    val cand = buckets.select(explode(expr(
-      """flatten(transform(members, (x, i) ->
-        |  transform(slice(members, i + 2, size(members)), y ->
-        |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-        |           x.v as av, y.v as bv))))""".stripMargin)).as("p"))
+    val cand = buckets.select(
+      explode(expr(pairExpansion("x.v as av, y.v as bv"))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.av"), col("p.bv"))
       .dropDuplicates("a_id", "b_id")
     cand
@@ -450,9 +463,18 @@ object Dedup {
     var labels = edges.select(col("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint() // eager — materializes and truncates lineage
+    // free a superseded eager localCheckpoint's materialized RDD — the
+    // context cleaner would reclaim it only after a driver GC, pinning
+    // up to 2×rounds dead copies of the label table until then
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      val prev = labels
       // (a) propagate: m(v) = min(label(v), min over neighbors' labels)
       val m = edges
         .join(labels.select(col("id").as("nb"), col("cluster_id").as("nb_label")), Seq("nb"))
@@ -473,6 +495,8 @@ object Dedup {
         .localCheckpoint()
       val changed = next.where(col("changed")).count()
       labels = next.drop("changed")
+      freeCheckpoint(m)    // dead once `next` is materialized
+      freeCheckpoint(prev) // superseded label round
       converged = changed == 0
       it += 1
     }

@@ -70,6 +70,10 @@ object Multimodal {
     * Column pruning matters at scale: this is the ONLY operator allowed
     * to read `media`; metadata consumers read the decoded table. */
   def decodeAll(assets: DataFrame, frameStride: Int = 8): DataFrame = {
+    // fail on the driver, not inside executors mid-job: stride 0 would
+    // throw from `0 until n by 0` per row; negative would silently
+    // sample no frames
+    require(frameStride > 0, s"frameStride must be positive, got $frameStride")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id").cast("long"), col("media_type"), col("media"))
