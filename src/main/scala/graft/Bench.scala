@@ -249,6 +249,20 @@ object Bench {
     // (exception anywhere below), not only on the happy path's delete
     fixDir.foreach(d => Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(d))))
+    // session hygiene before the timed headline crawl: the query section
+    // leaves cached tables and double-checkpointed view blocks in this
+    // JVM's storage memory, and the fixture write just dirtied multi-GB
+    // of page cache — both were measured bleeding into the in-session
+    // crawl (a 127 s headline in a run whose fresh forks were near-record
+    // 36.7 s at 4 cores). Drop the state a fresh deployment wouldn't
+    // have, compact the heap, and flush writeback outside the window.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+    try new ProcessBuilder("sync").start().waitFor(
+      30, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Throwable => () }
     val (urls, crawlSec) = fixDir match {
       case Some(d) => crawlRunOn(spark,
         spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), seedRep)
