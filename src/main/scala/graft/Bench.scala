@@ -249,32 +249,122 @@ object Bench {
     // (exception anywhere below), not only on the happy path's delete
     fixDir.foreach(d => Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(d))))
-    // session hygiene before the timed headline crawl: the query section
-    // leaves cached tables and double-checkpointed view blocks in this
-    // JVM's storage memory, and the fixture write just dirtied multi-GB
-    // of page cache — both were measured bleeding into the in-session
-    // crawl (a 127 s headline in a run whose fresh forks were near-record
-    // 36.7 s at 4 cores). Drop the state a fresh deployment wouldn't
-    // have, compact the heap, and flush writeback outside the window.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    System.gc()
-    try new ProcessBuilder("sync").start().waitFor(
-      30, java.util.concurrent.TimeUnit.SECONDS)
-    catch { case _: Throwable => () }
+
+    // flush dirty pages outside every timed window — background
+    // writeback from a fixture write or a previous run's store
+    // otherwise bleeds into the next measurement
+    def syncFs(): Unit =
+      try new ProcessBuilder("sync").start().waitFor(
+        30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Throwable => () }
+
+    // guard non-finite doubles: a failed fork yields NaN seconds and a
+    // zero-second leg makes urls/sec Infinity — either would render the
+    // result line invalid JSON exactly in the failure mode the
+    // always-parseable design exists for
+    def j(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else d.toString
+
+    /** One crawl in a fresh forked JVM pinned to `cpus` cores over the
+      * pre-materialized fixtures (graft.BenchOne). Used for the headline
+      * full-parallelism point AND the scaling legs: sequential sessions
+      * in one JVM degrade progressively (BenchOne doc), and the
+      * in-session headline measured 27.2 → 47.2 → 127.5 → 174.3 s across
+      * replicates of the identical crawl while same-run fresh forks held
+      * near-record — the warm-session number tracks JVM/host history,
+      * not the engine. */
+    def runAt(cpus: Int, dataParts: Int, fix: String): (Long, Double) =
+      // refuse to fork on fumes: the per-leg cap floors at 30 s, so a
+      // leg started with less than ~60 s left can only end as a kill
+      // AFTER the budget — pure overshoot, no usable measurement
+      // (observed: a slow-regime probe pair pushed the run ~20 s past
+      // budget). NaN legs drop out of the pair lists upstream.
+      if (remaining < 60) (0L, Double.NaN)
+      else runAtForked(cpus, dataParts, fix)
+
+    def runAtForked(cpus: Int, dataParts: Int, fix: String): (Long, Double) = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")
+      // pin the child to exactly `cpus` cores when taskset exists —
+      // local[N] alone lets GC/IO threads spill onto extra cores,
+      // which flatters low-N points and adds run-to-run noise
+      val pin =
+        if (new java.io.File("/usr/bin/taskset").exists() &&
+            cpus <= Runtime.getRuntime.availableProcessors())
+          Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+        else Seq.empty
+      val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx$mem", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchOne", sfDir, cpus.toString, seedRep.toString, fix)
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      // both levels of a window run the SAME data layout, sized for
+      // the window's larger level (see fixedParts doc)
+      pb.environment().put("SPARK_GRAFT_CRAWL_PARTS", dataParts.toString)
+      val proc = pb.start()
+      // drain concurrently (a full pipe would deadlock the child)
+      val outF = Future(new String(proc.getInputStream.readAllBytes()))
+      val capSec = math.min(remaining - 15.0, 480.0).max(30.0)
+      val done = proc.waitFor(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      // bounded post-kill wait + guarded drain: a child stuck in
+      // uninterruptible I/O (or a pipe that never reaches EOF) must
+      // cost seconds, not hang the whole bench past its budget
+      if (!done) {
+        proc.destroyForcibly()
+        proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      val out =
+        try Await.result(outF, 15.seconds)
+        catch { case _: Throwable => "" }
+      out.linesIterator.find(_.startsWith("RESULT ")) match {
+        case Some(l) =>
+          val parts = l.split(" ")
+          (parts(1).toLong, parts(2).toDouble)
+        case None =>
+          System.err.println(s"[bench] BenchOne at $cpus cores ${if (done) "failed" else "timed out"}:\n${out.takeRight(2000)}")
+          (0L, Double.NaN)
+      }
+    }
+
     val (urls, crawlSec) = fixDir match {
-      case Some(d) => crawlRunOn(spark,
-        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), seedRep)
-      case None => crawlRun(spark, sfDir)
+      case Some(d) =>
+        // the north-metric headline crawl, forked + pinned at full
+        // parallelism over the same fixtures the scaling legs read;
+        // the query session is done, stop it so the fork has the host
+        // to itself
+        spark.stop()
+        syncFs()
+        runAt(cpus, cpus * partsPerCore, d)
+      case None =>
+        // no fixtures (scaling off): in-session crawl. Hygiene first —
+        // the query section leaves cached tables and double-checkpointed
+        // view blocks squatting on this JVM's storage memory, none of
+        // which a fresh deployment would carry into a crawl
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        syncFs()
+        val r = crawlRun(spark, sfDir)
+        spark.stop()
+        r
     }
     val urlsPerSec = urls / crawlSec
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = qTimes.map(_._2.max(0.0)).sum + crawlSec
+    val total = qTimes.map(_._2.max(0.0)).sum + (if (crawlSec.isNaN) 0.0 else crawlSec)
     def line(scaling: String): String =
-      s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":$crawlSec,"throughput_urls_per_sec":$urlsPerSec$scaling}"""
+      s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":${j(crawlSec)},"throughput_urls_per_sec":${j(urlsPerSec)}$scaling}"""
 
     // 3. INSURANCE: a complete, parseable result line before the scaling
     // section — an external kill mid-scaling still leaves numbers.
@@ -292,80 +382,20 @@ object Bench {
     // ~16 — platform probes, BASELINE.md) and stay excluded. So: probe
     // BOTH windows with one interleaved pass (1,4,2,8), then spend the
     // repeat budget on whichever measured better, reporting the other
-    // window alongside (alt_* fields) and the in-session
-    // full-parallelism headline crawl (session32_* fields — same
-    // fixtures, no extra fork). SPARK_GRAFT_SCALING_N pins the window.
+    // window alongside (alt_* fields) and the forked full-parallelism
+    // headline crawl (session32_* fields — same fixtures, same fork
+    // protocol). SPARK_GRAFT_SCALING_N pins the window.
     val scaling: String =
       if (scalingOn && fixDir.isDefined && remaining > 120) {
         val rep = seedRep
         val fix = fixDir.get
-        spark.stop()
         // flush dirty pages before the timed forks — background
         // writeback from the headline crawl otherwise bleeds into the
-        // first (2-core) measurement
-        try new ProcessBuilder("sync").start().waitFor(
-          30, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: Throwable => () }
+        // first measurement
+        syncFs()
 
-        def runAt(cpus: Int, dataParts: Int): (Long, Double) = {
-          val javaBin = System.getProperty("java.home") + "/bin/java"
-          val opens = Seq(
-            "java.base/java.lang", "java.base/java.lang.invoke",
-            "java.base/java.lang.reflect", "java.base/java.io",
-            "java.base/java.net", "java.base/java.nio",
-            "java.base/java.util", "java.base/java.util.concurrent",
-            "java.base/java.util.concurrent.atomic",
-            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-            "java.base/sun.security.action", "java.base/sun.util.calendar"
-          ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-          val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")
-          // pin the child to exactly `cpus` cores when taskset exists —
-          // local[N] alone lets GC/IO threads spill onto extra cores,
-          // which flatters low-N points and adds run-to-run noise
-          val pin =
-            if (new java.io.File("/usr/bin/taskset").exists())
-              Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
-            else Seq.empty
-          val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
-            s"-Xmx$mem", "-Dspark.ui.enabled=false",
-            "-cp", System.getProperty("java.class.path"),
-            "graft.BenchOne", sfDir, cpus.toString, rep.toString, fix)
-          val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-          // both levels of a window run the SAME data layout, sized for
-          // the window's larger level (see fixedParts doc)
-          pb.environment().put("SPARK_GRAFT_CRAWL_PARTS", dataParts.toString)
-          val proc = pb.start()
-          // drain concurrently (a full pipe would deadlock the child)
-          val outF = Future(new String(proc.getInputStream.readAllBytes()))
-          val capSec = math.min(remaining - 15.0, 480.0).max(30.0)
-          val done = proc.waitFor(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-          // bounded post-kill wait + guarded drain: a child stuck in
-          // uninterruptible I/O (or a pipe that never reaches EOF) must
-          // cost seconds, not hang the whole bench past its budget
-          if (!done) {
-            proc.destroyForcibly()
-            proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
-          }
-          val out =
-            try Await.result(outF, 15.seconds)
-            catch { case _: Throwable => "" }
-          out.linesIterator.find(_.startsWith("RESULT ")) match {
-            case Some(l) =>
-              val parts = l.split(" ")
-              (parts(1).toLong, parts(2).toDouble)
-            case None =>
-              System.err.println(s"[bench] BenchOne at $cpus cores ${if (done) "failed" else "timed out"}:\n${out.takeRight(2000)}")
-              (0L, Double.NaN)
-          }
-        }
         def better(a: (Long, Double), b: (Long, Double)): (Long, Double) =
           if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
-        // guard infinities too: a window with zero completed pairs makes
-        // eff() -Infinity and a zero-second leg makes urls/sec Infinity —
-        // either would render the result line invalid JSON exactly in
-        // the failure mode the always-parseable design exists for
-        def j(d: Double): String =
-          if (d.isNaN || d.isInfinite) "null" else d.toString
 
         // PAIRWISE efficiency: this host's effective speed for the
         // crawl's memory-heavy profile drifts SLOWLY over tens of
@@ -381,7 +411,7 @@ object Bench {
         val pairsOf = scala.collection.mutable
           .Map[Int, List[((Long, Double), (Long, Double))]]()
         def measure(c: Int, dataParts: Int): (Long, Double) = {
-          val r = runAt(c, dataParts)
+          val r = runAt(c, dataParts, fix)
           best(c) = best.get(c).map(better(_, r)).getOrElse(r)
           r
         }
@@ -402,15 +432,15 @@ object Bench {
           (for { (_, tA) <- best.get(w); (_, tB) <- best.get(4 * w) }
             yield s""","level_best_n_sec":${j(tA)},"level_best_n4_sec":${j(tB)},"level_best_efficiency":${j((tA / tB) / 4.0)}""")
             .getOrElse("")
-        // session32_*: the in-session headline crawl over the same
-        // fixtures at local[cpus] (unpinned, warm JVM) — the full-
-        // parallelism point of the curve without a third fork
+        // session32_*: the forked, pinned headline crawl at local[cpus]
+        // over the same fixtures — the full-parallelism point of the
+        // curve, same protocol as the gate legs
         def gateJson(w: Int, runs: Int, alt: String): String = {
           val ((uN, tN), (u4, t4)) = bestPair(w).getOrElse(
             ((0L, Double.NaN), (0L, Double.NaN)))
           val pairEffs = pairsOf.getOrElse(w, Nil).map(p => j(pairEff(p)))
             .mkString("[", ",", "]")
-          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$w,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * w},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(eff(w))},"pair_efficiencies":$pairEffs${levelBestJson(w)}$alt,"session32_cores":$cpus,"session32_sec":$crawlSec,"session32_urls_per_sec":$urlsPerSec}"""
+          s""","scaling":{"rep":$rep,"runs_per_level":$runs,"urls":$uN,"n_cores":$w,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * w},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(eff(w))},"pair_efficiencies":$pairEffs${levelBestJson(w)}$alt,"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urlsPerSec)}}"""
         }
         def altJson(w: Int): String =
           bestPair(w).map { case ((uA, tA), (uB, tB)) =>
@@ -444,7 +474,7 @@ object Bench {
           println(line(gateJson(gate, runs, other.map(altJson).mkString)))
         }
         gateJson(gate, runs, other.map(altJson).mkString)
-      } else { spark.stop(); "" }
+      } else "" // session already stopped in both crawl branches
 
     // 5. the final, complete line (driver-parsed; supersedes insurance)
     println(line(scaling))
