@@ -81,7 +81,7 @@ object ElmSide {
        |be AS (SELECT i AS h, v AS beta FROM sd WHERE kind = 'beta'),
        |t AS (SELECT doc_id,
        |        list_filter(string_split(lower(translate(
-       |            trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+       |            trim(text, ${graft.py.Py.uniWhitespaceSql}),
        |            '$dfrom', '$dto')), ' '),
        |                    x -> x <> '')[1:8] AS toks
        |      FROM documents),

@@ -309,9 +309,12 @@ object SparkEntry {
       (s, dir) => graft.sources.Titles.read(
         s, sourceFiles(s, dir).resolve("titles.txt").toString),
       Some(
-        """SELECT cast(row_number() OVER (ORDER BY doc_id) - 1 as bigint) AS line_no,
-          |  trim(substr(replace(replace(replace(text, chr(10), ' '), chr(13), ' '), chr(9), ' '), 1, 40)) AS title
-          |FROM documents""".stripMargin)),
+        // trim set = Py_UNICODE_ISSPACE: Titles.read strips each line
+        // like the reference's codecs-decoded unicode.strip()
+        s"""SELECT cast(row_number() OVER (ORDER BY doc_id) - 1 as bigint) AS line_no,
+           |  trim(substr(replace(replace(replace(text, chr(10), ' '), chr(13), ' '), chr(9), ' '), 1, 40),
+           |       ${graft.py.Py.uniWhitespaceSql}) AS title
+           |FROM documents""".stripMargin)),
 
     "s10_vector_scan" -> Q(
       (s, dir) => graft.sources.FeatureVectors.read(

@@ -89,7 +89,7 @@ object HttpFeatures {
   private[features] def stripedFromRows(raw: Array[String]): (String, Array[String]) = {
     var k = raw.length - 1
     while (k >= 0 && { var j = 0; val r = raw(k)
-      while (j < r.length && Character.isWhitespace(r.charAt(j))) j += 1
+      while (j < r.length && Py.isByteWs(r.charAt(j))) j += 1
       j == r.length }) k -= 1
     val kept = Array.newBuilder[String]
     var i = 0
@@ -188,7 +188,7 @@ object HttpFeatures {
         case "meta" =>
           if (t.getOpt("http-equiv").exists(v => Py.pyMatchI("^refresh$", v))) redirectB += t
         case "title" =>
-          if (Py.strip(t.text).nonEmpty) titleB += t.text
+          if (Py.stripUni(t.text).nonEmpty) titleB += t.text
         case _ => ()
       }
       if (t.getOpt("type").contains("submit")) submitB += t
@@ -319,18 +319,18 @@ object HttpFeatures {
       Py.pySearchMGuarded("^.*getElementById\\(.([^)]*).\\).*$", row) match {
         case Some(m) =>
           val text = Py.strip(m.group(1))
-          if (formIdChars.exists(i => Py.strip(i) == text)) number += 1
+          if (formIdChars.exists(i => Py.stripUni(i) == text)) number += 1
         case None =>
           if (Py.pySearchMGuarded("^.*getElementsByTagName\\(.form.\\).*$", row).isDefined) number += 1
           else Py.pySearchMGuarded("^.*getElementsByClassName\\(.([^)]*).\\).*$", row) match {
             case Some(m) =>
               val text = Py.strip(m.group(1))
-              if (formClassNames.exists(i => Py.strip(i) == text)) number += 1
+              if (formClassNames.exists(i => Py.stripUni(i) == text)) number += 1
             case None =>
               Py.pySearchMGuarded("^.*forms\\[.([^\\]]*).\\].*$", row) match {
                 case Some(m) =>
                   val text = Py.strip(m.group(1))
-                  if (formNameChars.exists(i => Py.strip(i) == text)) number += 1
+                  if (formNameChars.exists(i => Py.stripUni(i) == text)) number += 1
                 case None =>
                   // reference uses re.match here (:123) — anchored
                   if (row.contains("getElementsByName") &&
@@ -340,12 +340,12 @@ object HttpFeatures {
                       .matcher(row)
                     if (m.lookingAt()) {
                       val text = Py.strip(m.group(1))
-                      if (formNameChars.exists(i => Py.strip(i) == text)) number += 1
+                      if (formNameChars.exists(i => Py.stripUni(i) == text)) number += 1
                     }
                   } else Py.pySearchMGuarded("^.*querySelector\\(.([^)]*).\\).*$", row) match {
                     case Some(m) =>
                       val text = Py.strip(m.group(1))
-                      if ((formClassNames ++ formIdChars).exists(i => Py.strip(i) == text)) number += 1
+                      if ((formClassNames ++ formIdChars).exists(i => Py.stripUni(i) == text)) number += 1
                     case None => ()
                   }
               }

@@ -136,7 +136,7 @@ object TagScanner {
     val n = html.length
     var i = lt + 1
     val nameStart = i
-    while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+    while (i < n && !isPymSpace(html.charAt(i)) && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
     val name = html.substring(nameStart, i).toLowerCase
     if (name.isEmpty) return (None, i, false)
     val attrs = Vector.newBuilder[(String, Option[String])]
@@ -147,7 +147,7 @@ object TagScanner {
     var selfClosing = false
     while (!done && i < n) {
       selfClosing = false
-      while (i < n && (html.charAt(i).isWhitespace || html.charAt(i) == '/')) {
+      while (i < n && (isPymSpace(html.charAt(i)) || html.charAt(i) == '/')) {
         if (html.charAt(i) == '/') selfClosing = true
         i += 1
       }
@@ -156,13 +156,13 @@ object TagScanner {
       else {
         // attribute name
         val as = i
-        while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
+        while (i < n && !isPymSpace(html.charAt(i)) && html.charAt(i) != '=' &&
                html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
         val aname = html.substring(as, i).toLowerCase
-        while (i < n && html.charAt(i).isWhitespace) i += 1
+        while (i < n && isPymSpace(html.charAt(i))) i += 1
         if (i < n && html.charAt(i) == '=') {
           i += 1
-          while (i < n && html.charAt(i).isWhitespace) i += 1
+          while (i < n && isPymSpace(html.charAt(i))) i += 1
           if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
             val q = html.charAt(i)
             i += 1
@@ -172,7 +172,7 @@ object TagScanner {
             if (i < n) i += 1
           } else {
             val vs = i
-            while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+            while (i < n && !isPymSpace(html.charAt(i)) && html.charAt(i) != '>') i += 1
             attrs += ((aname, Some(html.substring(vs, i))))
           }
         } else if (aname.nonEmpty) {

@@ -36,8 +36,8 @@ object Blocks {
   private def sentinelKind(l: String): Int = {
     var b = 0
     var e = l.length
-    while (b < e && Character.isWhitespace(l.charAt(b))) b += 1
-    while (e > b && Character.isWhitespace(l.charAt(e - 1))) e -= 1
+    while (b < e && graft.py.Py.isByteWs(l.charAt(b))) b += 1
+    while (e > b && graft.py.Py.isByteWs(l.charAt(e - 1))) e -= 1
     if (e - b < 8) return 0 // shortest sentinel is "<= END=>"
     if (l.charAt(b) != '<' || l.charAt(b + 1) != '=') return 0
     if (l.charAt(e - 1) != '>' || l.charAt(e - 2) != '=') return 0
@@ -94,8 +94,8 @@ object Blocks {
   private def sentinelKindRange(text: String, start: Int, end: Int): Int = {
     var b = start
     var e = end
-    while (b < e && Character.isWhitespace(text.charAt(b))) b += 1
-    while (e > b && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+    while (b < e && graft.py.Py.isByteWs(text.charAt(b))) b += 1
+    while (e > b && graft.py.Py.isByteWs(text.charAt(e - 1))) e -= 1
     if (e - b < 8) return 0
     if (text.charAt(b) != '<' || text.charAt(b + 1) != '=') return 0
     if (text.charAt(e - 1) != '>' || text.charAt(e - 2) != '=') return 0

@@ -181,9 +181,13 @@ object Py {
   def pySplit(s: String, sep: String): Array[String] =
     s.split(Pattern.quote(sep), -1)
 
-  /** Python `str.split()` (no arg) — split on whitespace runs, drop empties. */
+  /** Python 2 byte-`str.split()` (no arg) — split on ASCII-whitespace
+    * runs, drop empties. Java `\s` is exactly Python 2's
+    * `string.whitespace` set; no pre-trim (Java `trim` would also eat
+    * leading control chars < 0x20 that Python keeps in the first
+    * token). */
   def pySplitWs(s: String): Array[String] =
-    s.trim.split("\\s+").filter(_.nonEmpty)
+    s.split("\\s+").filter(_.nonEmpty)
 
   /** Python `file.readlines()` over in-memory text: each element keeps its
     * terminating `\n` (the reference's sample files are `\n`-terminated,
@@ -201,19 +205,64 @@ object Py {
     out.result()
   }
 
-  /** Python `str.rstrip()` — strips trailing whitespace incl. `\n\r\t `. */
+  // ---- the two Python-2 whitespace regimes -------------------------
+  //
+  // byte `str.strip()` strips exactly `string.whitespace` =
+  // " \t\n\v\f\r" (the reference's row/url strips all run over sample
+  // files and urls read WITHOUT codecs, i.e. utf-8 bytes, where no
+  // multi-byte character has an ASCII-whitespace byte);
+  // `unicode.strip()` strips per Py_UNICODE_ISSPACE (CPython 2.7 /
+  // Unicode 5.2): the Java `Character.isWhitespace` set PLUS NEL,
+  // NBSP, MONGOLIAN VOWEL SEPARATOR, FIGURE SPACE and NARROW NO-BREAK
+  // SPACE — the reference's title pipeline is unicode (codecs.open in
+  // tfidf-elm.py:32, BeautifulSoup `.text` in extractors5
+  // get_title/__split_title). Character.isWhitespace matches NEITHER
+  // set exactly (it includes U+2028 etc. but excludes NBSP), so both
+  // regimes are spelled out.
+
+  /** Python 2 byte-`str` whitespace (`string.whitespace`). */
+  @inline def isByteWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** CPython 2.7 `Py_UNICODE_ISSPACE` (BMP; no astral char is space). */
+  @inline def isUniWs(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u0085' || c == '\u00A0' ||
+      c == '\u180E' || c == '\u2007' || c == '\u202F'
+
+  /** The full Py_UNICODE_ISSPACE set as a string — for building oracle
+    * SQL `trim(x, <set>)` calls that must replicate [[stripUni]]. */
+  val uniWhitespace: String =
+    "\t\n\u000B\f\r\u001C\u001D\u001E\u001F \u0085\u00A0\u1680\u180E" +
+      "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200A" +
+      "\u2028\u2029\u202F\u205F\u3000"
+
+  /** [[uniWhitespace]] as a SQL `chr(..) || ..` expression (valid in
+    * both DuckDB and Spark SQL; chr() keeps the oracle text free of
+    * raw control characters). */
+  val uniWhitespaceSql: String =
+    uniWhitespace.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+  /** Python 2 byte-`str.rstrip()` — ASCII whitespace only. */
   def rstrip(s: String): String = {
     var e = s.length
-    while (e > 0 && Character.isWhitespace(s.charAt(e - 1))) e -= 1
-    s.substring(0, e)
+    while (e > 0 && isByteWs(s.charAt(e - 1))) e -= 1
+    if (e == s.length) s else s.substring(0, e)
   }
 
-  /** Python `str.strip()`. */
+  /** Python 2 byte-`str.strip()` — ASCII whitespace only. */
   def strip(s: String): String = {
     var b = 0; var e = s.length
-    while (b < e && Character.isWhitespace(s.charAt(b))) b += 1
-    while (e > b && Character.isWhitespace(s.charAt(e - 1))) e -= 1
-    s.substring(b, e)
+    while (b < e && isByteWs(s.charAt(b))) b += 1
+    while (e > b && isByteWs(s.charAt(e - 1))) e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Python 2 `unicode.strip()` — Py_UNICODE_ISSPACE set. */
+  def stripUni(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && isUniWs(s.charAt(b))) b += 1
+    while (e > b && isUniWs(s.charAt(e - 1))) e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
   /** Python 2 `str(float)`: `%.12g` with trailing zeros stripped and a

@@ -18,7 +18,7 @@ object Titles {
     import spark.implicits._
     spark.read.textFile(path).rdd
       .zipWithIndex()
-      .map { case (t, i) => (i, graft.py.Py.strip(t)) } // Python strip semantics
+      .map { case (t, i) => (i, graft.py.Py.stripUni(t)) } // codecs.open → unicode.strip()
       .toDF("line_no", "title")
   }
 }

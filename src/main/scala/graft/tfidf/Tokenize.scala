@@ -16,9 +16,13 @@ object Tokenize {
 
   private val delimSet: Set[Char] = delimiters.toSet
 
-  /** Tokens of one title line. */
+  /** Tokens of one title line. Both reference call sites run on
+    * UNICODE strings (tfidf-elm.py reads via codecs.open utf-8;
+    * extractors5 titles are BeautifulSoup `.text`), so the strip is
+    * Python 2 `unicode.strip()` — NBSP/NEL-padded titles lose the
+    * padding before tokenization. */
   def terms(title: String): Vector[String] = {
-    val t = Py.strip(title)
+    val t = Py.stripUni(title)
     val sb = new StringBuilder(t.length)
     for (c <- t) sb += (if (delimSet(c)) ' ' else c)
     // python split(' ') (explicit separator) then `if i` filter

@@ -117,6 +117,40 @@ class PyHelperSpec extends AnyFunSuite {
     assert(Py.pySplit("a.b.", ".").toSeq == Seq("a", "b", ""))
     assert("a.b.".split("\\.", -1).toSeq == Seq("a", "b", ""))
   }
+
+  test("strip/rstrip are Python2 byte-str: ASCII string.whitespace only") {
+    assert(Py.strip(" \t\f\r\nx\n ") == "x")
+    assert(Py.strip("\u000Bx") == "x") // VT is in string.whitespace
+    // NOT stripped by byte-str strip: FS..US controls, NEL, NBSP, LS/PS,
+    // unicode spaces (multi-byte in utf-8, no ASCII-whitespace byte)
+    for (c <- "\u001C\u001F\u0085\u00A0\u2000\u2028\u2029\u3000") {
+      assert(Py.strip(s"${c}x$c") == s"${c}x$c", f"U+${c.toInt}%04X")
+      assert(Py.rstrip(s"x$c") == s"x$c", f"U+${c.toInt}%04X")
+    }
+    assert(Py.rstrip("x \t\n") == "x")
+  }
+
+  test("stripUni is CPython2 unicode.strip: Py_UNICODE_ISSPACE") {
+    // every char of the documented set strips
+    for (c <- Py.uniWhitespace) {
+      assert(Py.stripUni(s"${c}x$c") == "x", f"U+${c.toInt}%04X")
+      assert(Py.isUniWs(c), f"U+${c.toInt}%04X")
+    }
+    // the chars Java Character.isWhitespace misses: NEL, NBSP,
+    // MONGOLIAN VOWEL SEP, FIGURE SPACE, NARROW NBSP
+    for (c <- "\u0085\u00A0\u180E\u2007\u202F") {
+      assert(!Character.isWhitespace(c), f"U+${c.toInt}%04X")
+      assert(Py.stripUni(s"${c}title$c") == "title", f"U+${c.toInt}%04X")
+    }
+    // ZWSP / BOM are not whitespace in CPython 2.7 (Unicode 5.2)
+    assert(Py.stripUni("\u200Bx\uFEFF") == "\u200Bx\uFEFF")
+  }
+
+  test("pySplitWs keeps leading non-ws control chars in the first token") {
+    assert(Py.pySplitWs("  a  b ").toSeq == Seq("a", "b"))
+    assert(Py.pySplitWs("a b").toSeq == Seq("a", "b"))
+    assert(Py.pySplitWs("").toSeq == Seq())
+  }
 }
 
 class BlocksSpec extends AnyFunSuite {
@@ -134,6 +168,19 @@ class BlocksSpec extends AnyFunSuite {
     val text = "http://u/\n\n<=HTTP BEGIN=>\nA\nB\n<=HTTP END=>\n\n<=HTTP BEGIN=>\nC\n<=HTTP END=>\n"
     val b = Blocks.split(lines(text))
     assert(b.blocks("http") == Vector("A\nB\n", "C\n"))
+  }
+
+  test("sentinel strip is byte-str: U+2028-suffixed sentinel stays content") {
+    // python2 strips the file's BYTES: '<=X END=>' + utf-8 LS bytes does
+    // not rstrip to the sentinel, so the line is block content — a
+    // Character.isWhitespace strip would wrongly close the block here
+    val text = "http://u/\n\n<=HTTP BEGIN=>\nA\n<=HTTP END=>\u2028\n<=HTTP END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks("http") == Vector("A\n<=HTTP END=>\u2028\n"))
+    assert(Blocks.splitText(text).blocks == b.blocks)
+    // plain ASCII-whitespace padding still strips
+    val t2 = "http://u/\n\n<=HTTP BEGIN=>\nA\n  <=HTTP END=>\t \n"
+    assert(Blocks.split(lines(t2)).blocks("http") == Vector("A\n"))
   }
 
   test("nested sentinel swallows enclosing block and everything after (quirk)") {

@@ -10,6 +10,15 @@ class TokenizeSpec extends AnyFunSuite {
     assert(Tokenize.terms("【安全】銀行・ログイン") == Vector("安全", "銀行", "ログイン"))
     assert(Tokenize.terms("") == Vector())
   }
+
+  test("strip is unicode.strip: NBSP/NEL padding drops, interior stays") {
+    // both reference call sites are unicode (codecs.open utf-8 /
+    // BeautifulSoup .text): u'\xa0Login\xa0'.strip() -> u'Login'
+    assert(Tokenize.terms("\u00A0\u0085 Secure Login\u202F") ==
+      Vector("secure", "login"))
+    // interior NBSP is NOT a delimiter or split space: it stays in the token
+    assert(Tokenize.terms("a\u00A0b") == Vector("a\u00a0b"))
+  }
 }
 
 class TfIdfSpec extends AnyFunSuite {
