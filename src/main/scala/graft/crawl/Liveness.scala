@@ -60,7 +60,7 @@ object Liveness {
   private val phishingScreen = new Py.Guarded("^(.* |.*suspected |)phishing.*$")
   private val notFoundStrScreens: Array[(Py.Guarded, String)] =
     pageNotFoundStr.map(s =>
-      new Py.Guarded("^.*" + s.toLowerCase + ".*$") -> s).toArray
+      new Py.Guarded("^.*" + Py.lowerAscii(s) + ".*$") -> s).toArray
 
   /** P2 — title heuristics over every extracted title text
     * (spider.py:336-369). `titles` = all `//title/text()` values.
@@ -70,7 +70,7 @@ object Liveness {
   def titleCheck(titles: Seq[String]): Verdict = {
     for (origin <- titles) {
       val title = origin
-      val lower = title.toLowerCase
+      val lower = Py.lowerAscii(title)
       for ((g, code) <- errCodeScreens)
         if (g.hit(title))
           return Verdict(alive = false, code)

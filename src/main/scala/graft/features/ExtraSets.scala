@@ -366,7 +366,7 @@ object HttpFeatureSets {
     val pageDomain = Canonicalize.extractorDomain(Py.rstrip(rawUrl))
     val isRedirect = st.redirectTags.nonEmpty
     val isBase64 = st.redirectTags.exists { t =>
-      t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", c.toLowerCase))
+      t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", Py.lowerUni(c)))
     }
     // is_form (:490-493) = get_form() OR _get_form_in_javascript()
     val isForm = TagScanner.findAll(st.tags, "form").nonEmpty ||
@@ -380,7 +380,7 @@ object HttpFeatureSets {
     val searchableTags =
       if (!hasBody) Vector.empty
       else st.tags.filter(t => !t.name.contains("script") && !t.name.contains("style"))
-    val texts = if (hasBody) textNodes(st.htmlStr).map(_.toLowerCase) else Vector.empty
+    val texts = if (hasBody) textNodes(st.htmlStr).map(Py.lowerUni) else Vector.empty
     // bs4 multi-valued attrs (class) are tested token-wise, the rest as
     // whole strings; valueless attrs read back '' in bs4 html.parser —
     // '' cannot match the pattern, so dropping None here is equivalent
@@ -415,7 +415,7 @@ object HttpFeatureSets {
   private[features] def textNodes(html: String): Vector[String] = {
     val noScript = html.replaceAll("(?is)<script[^>]*>.*?</script>", " ")
       .replaceAll("(?is)<style[^>]*>.*?</style>", " ")
-    noScript.split("<[^>]*>").toVector.map(Py.strip).filter(_.nonEmpty)
+    noScript.split("<[^>]*>").toVector.map(Py.stripUni).filter(_.nonEmpty)
   }
 
   // -------------------------------------------------------------- set 3
@@ -564,7 +564,7 @@ object HttpFeatureSets {
   private[features] def formChildATags(html: String): Vector[Tag] = {
     val out = Vector.newBuilder[Tag]
     var i = 0
-    val lower = html.toLowerCase
+    val lower = Py.lowerAscii(html)
     while (i < lower.length) {
       val open = lower.indexOf("<form", i)
       if (open < 0) i = lower.length

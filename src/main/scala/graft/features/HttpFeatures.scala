@@ -285,7 +285,7 @@ object HttpFeatures {
       // succeed within the FIRST line, so lowercase just that line
       // instead of the whole block; a cheap contains rejects first
       val nl = block.indexOf('\n')
-      val first = (if (nl < 0) block else block.substring(0, nl)).toLowerCase
+      val first = Py.lowerAscii(if (nl < 0) block else block.substring(0, nl))
       first.contains("write(") &&
         Py.pyMatchM("^.*write\\(.*<form[^>]*>.*$", first)
     }
@@ -299,7 +299,7 @@ object HttpFeatures {
     st.scriptBlockRows != 0 && {
       val block = st.scriptBlock.mkString("\n")
       val nl = block.indexOf('\n')
-      val first = (if (nl < 0) block else block.substring(0, nl)).toLowerCase
+      val first = Py.lowerAscii(if (nl < 0) block else block.substring(0, nl))
       first.contains("write") &&
         Py.pyMatchM("^.*\\.write(ln|)\\(.*<form[^>]*>.*$", first)
     }
@@ -369,7 +369,7 @@ object HttpFeatures {
     val st = blocks.map(buildState).reduce((prev, cur) => cur.absorb(prev))
     val isRedirect = st.redirectTags.nonEmpty
     val isBase64 = st.redirectTags.exists { t =>
-      t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", c.toLowerCase))
+      t.getOpt("content").exists(c => Py.pyMatchI("^.*base64.*$", Py.lowerUni(c)))
     }
     val isForm = TagScanner.findAll(st.tags, "form").nonEmpty || formInJavascriptWrite(st)
     val titleFeature =

@@ -170,7 +170,7 @@ object NslookupFeatures {
     for (row <- rows) {
       if (row.indexOf(" = ") > 0) {
         val parts = Py.pySplit(Py.rstrip(Py.strip(row)), " = ")
-        if (parts.length >= 2 && parts(0).toLowerCase == "serial") return Some(parts(1))
+        if (parts.length >= 2 && Py.lowerAscii(parts(0)) == "serial") return Some(parts(1))
       }
     }
     None
@@ -237,11 +237,11 @@ object WhoisFeatures {
   private val others = Vector("blacklisted", "Timeout", "Error for")
 
   private def matches(pattern: String, row: String): Boolean =
-    Py.pyMatch("^.*" + pattern.toLowerCase + ".*$", Py.rstrip(row).toLowerCase)
+    Py.pyMatch("^.*" + Py.lowerAscii(pattern) + ".*$", Py.lowerAscii(Py.rstrip(row)))
 
   def isWithWhois(whoisStr: String): Boolean = {
     for (row <- whoisStr.split("\n", -1)) {
-      val low = Py.rstrip(row).toLowerCase
+      val low = Py.lowerAscii(Py.rstrip(row))
       if (low.contains("invalid")) {
         if (invalid.exists(matches(_, row))) return false
       } else if (low.contains("no")) {

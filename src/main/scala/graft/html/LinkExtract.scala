@@ -70,7 +70,7 @@ object LinkExtract {
     if (u.startsWith("http://") || u.startsWith("https://")) u
     else {
       val ci = u.indexOf("://")
-      u.substring(0, ci).toLowerCase + u.substring(ci)
+      graft.py.Py.lowerAscii(u.substring(0, ci)) + u.substring(ci)
     }
 
   def links(content: String): Vector[String] = {

@@ -137,7 +137,7 @@ object TagScanner {
     var i = lt + 1
     val nameStart = i
     while (i < n && !isPymSpace(html.charAt(i)) && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-    val name = html.substring(nameStart, i).toLowerCase
+    val name = graft.py.Py.lowerUni(html.substring(nameStart, i))
     if (name.isEmpty) return (None, i, false)
     val attrs = Vector.newBuilder[(String, Option[String])]
     var done = false
@@ -158,7 +158,7 @@ object TagScanner {
         val as = i
         while (i < n && !isPymSpace(html.charAt(i)) && html.charAt(i) != '=' &&
                html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-        val aname = html.substring(as, i).toLowerCase
+        val aname = graft.py.Py.lowerUni(html.substring(as, i))
         while (i < n && isPymSpace(html.charAt(i))) i += 1
         if (i < n && html.charAt(i) == '=') {
           i += 1

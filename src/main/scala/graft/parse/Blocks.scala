@@ -73,7 +73,7 @@ object Blocks {
       } else if (kind == 2) {
         if (entries == 1 && classType != null) {
           if (!classTypeIsSummary) {
-            val key = classType.toLowerCase
+            val key = Py.lowerAscii(classType)
             blocks(key) = blocks.getOrElse(key, Vector.empty) :+ temp.result()
           }
           // reference: append + `entries -= 1`; summary case crashes there —
@@ -143,7 +143,7 @@ object Blocks {
       } else if (kind == 2) {
         if (entries == 1 && classType != null) {
           if (!classTypeIsSummary) {
-            val key = classType.toLowerCase
+            val key = Py.lowerAscii(classType)
             blocks(key) = blocks.getOrElse(key, Vector.empty) :+ temp.toString
           }
           temp.setLength(0)

@@ -65,7 +65,7 @@ object CharsetDecode {
 
   /** Charset parameter of a Content-Type header value, if any. */
   def headerCharset(contentType: String): Option[String] = {
-    val i = contentType.toLowerCase.indexOf("charset=")
+    val i = graft.py.Py.lowerAscii(contentType).indexOf("charset=")
     if (i < 0) None
     else {
       val v = contentType.substring(i + 8).takeWhile(c => c != ';' && c != ' ')

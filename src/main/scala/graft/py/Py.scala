@@ -265,6 +265,52 @@ object Py {
     if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
+  // ---- the two Python-2 lower() regimes -----------------------------
+  //
+  // byte `str.lower()` folds A-Z ONLY (utf-8 bytes of non-ASCII chars
+  // are untouched); `unicode.lower()` applies the SIMPLE per-code-point
+  // UnicodeData mapping. Java String.toLowerCase matches neither: it is
+  // the FULL, locale-sensitive mapping (U+0130 İ → "i̇" two chars, and
+  // tr/az default locales would fold I → ı).
+
+  /** Python 2 byte-`str.lower()` — ASCII A-Z only. Returns `s` itself
+    * when nothing folds (hot paths lower per row). */
+  def lowerAscii(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == n) return s
+    val a = s.toCharArray
+    while (i < n) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Python 2 `unicode.lower()` — the simple 1:1 code-point mapping
+    * (`Character.toLowerCase(int)`), never length-changing and never
+    * locale-sensitive. */
+  def lowerUni(s: String): String = {
+    var i = 0
+    val n = s.length
+    // fast path: scan to the first char the simple mapping changes
+    while (i < n && {
+      val c = s.charAt(i)
+      !Character.isSurrogate(c) && Character.toLowerCase(c.toInt) == c.toInt
+    }) i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   /** Python 2 `str(float)`: `%.12g` with trailing zeros stripped and a
     * bare exponent form (`1e-05`). Used for the TIMER block render
     * (`spider.py:28,41` write `str(total_time)`). */

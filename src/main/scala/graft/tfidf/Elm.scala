@@ -288,7 +288,7 @@ final class ElmTitleScorer(vocab: Array[String], model: ElmModel)
     extends graft.features.TitleScorer {
   // lowercase ONCE: score() runs per URL in the extraction hot path,
   // and per-call toLowerCase would allocate |vocab| strings per page
-  private val vocabLc: Array[String] = vocab.map(_.toLowerCase)
+  private val vocabLc: Array[String] = vocab.map(graft.py.Py.lowerUni)
 
   def score(titleTokens: Seq[String]): Double = {
     val tokenSet = titleTokens.toSet

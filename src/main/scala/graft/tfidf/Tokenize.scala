@@ -26,7 +26,7 @@ object Tokenize {
     val sb = new StringBuilder(t.length)
     for (c <- t) sb += (if (delimSet(c)) ' ' else c)
     // python split(' ') (explicit separator) then `if i` filter
-    sb.result().split(" ", -1).iterator.filter(_.nonEmpty).map(_.toLowerCase).toVector
+    sb.result().split(" ", -1).iterator.filter(_.nonEmpty).map(Py.lowerUni).toVector
   }
 
   /** `split_into_term` over a title list: one token list per title. */

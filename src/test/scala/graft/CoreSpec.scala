@@ -146,6 +146,24 @@ class PyHelperSpec extends AnyFunSuite {
     assert(Py.stripUni("\u200Bx\uFEFF") == "\u200Bx\uFEFF")
   }
 
+  test("lowerAscii folds A-Z only (Python2 byte-str lower)") {
+    assert(Py.lowerAscii("Not FOUND 404!") == "not found 404!")
+    // non-ASCII cased letters untouched (utf-8 bytes have no A-Z byte)
+    assert(Py.lowerAscii("\u00C4BC \u0130 \u0141") == "\u00C4bc \u0130 \u0141")
+    val same = "already lower 123"
+    assert(Py.lowerAscii(same) eq same) // no-fold fast path returns s itself
+  }
+
+  test("lowerUni is the simple 1:1 mapping (CPython2 unicode.lower)") {
+    assert(Py.lowerUni("PayPal \u00C4 \u0141") == "paypal \u00E4 \u0142")
+    // U+0130: simple mapping -> 'i' (one char); Java String.toLowerCase
+    // FULL mapping gives "i\u0307" (two chars) — the CPython2 divergence
+    assert(Py.lowerUni("\u0130") == "i")
+    assert("\u0130".toLowerCase(java.util.Locale.ROOT) == "i\u0307")
+    val same = "no cased chars \u4E2D\u6587"
+    assert(Py.lowerUni(same) eq same)
+  }
+
   test("pySplitWs keeps leading non-ws control chars in the first token") {
     assert(Py.pySplitWs("  a  b ").toSeq == Seq("a", "b"))
     assert(Py.pySplitWs("a b").toSeq == Seq("a", "b"))

@@ -18,6 +18,9 @@ class TokenizeSpec extends AnyFunSuite {
       Vector("secure", "login"))
     // interior NBSP is NOT a delimiter or split space: it stays in the token
     assert(Tokenize.terms("a\u00A0b") == Vector("a\u00a0b"))
+    // token lowering is the simple unicode mapping: 'İ' -> 'i', not "i̇"
+    assert(Tokenize.terms("\u0130stanbul Bankas\u0131") ==
+      Vector("istanbul", "bankas\u0131"))
   }
 }
 
