@@ -207,9 +207,15 @@ object SparkEntry {
       val docs = s.table("documents")
         .select(col("doc_id").cast("long"), col("n_chars").cast("long"), col("text"))
         .as[(Long, Long, String)].collect().sortBy(_._1)
-      // S9: one padded title line per doc (exercises the strip semantics)
+      // S9: one padded title line per doc (exercises the strip
+      // semantics). Prefix length counts CODE POINTS like the oracle's
+      // substr(text, 1, 40) — String.take(40) counts UTF-16 units and
+      // could split a surrogate pair (writeString would then throw)
       val titles = docs.map { case (_, _, t) =>
-        "  " + t.replace('\n', ' ').replace('\r', ' ').replace('\t', ' ').take(40) + "  "
+        val cleaned = t.replace('\n', ' ').replace('\r', ' ').replace('\t', ' ')
+        val cpEnd = cleaned.offsetByCodePoints(0,
+          math.min(40, cleaned.codePointCount(0, cleaned.length)))
+        "  " + cleaned.substring(0, cpEnd) + "  "
       }
       java.nio.file.Files.writeString(tmp.resolve("titles.txt"),
         titles.mkString("", "\n", "\n"))
@@ -230,15 +236,22 @@ object SparkEntry {
     java.nio.file.Paths.get(root)
   }
 
-  // shared tokenizer + selection SQL (spark/duck dialects)
+  // shared tokenizer + selection SQL (spark/duck dialects). Case fold
+  // is an explicit ASCII translate, NOT lower(): Spark's lower() is the
+  // full context-sensitive mapping (final sigma, U+0130 → two chars)
+  // while DuckDB's is the simple per-codepoint one — the pair would
+  // diverge on any non-ASCII cased char. translate() has identical
+  // semantics in both engines, so the parity holds on ARBITRARY text.
+  private val asciiFoldSql =
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
   private val sparkTokSql =
-    """SELECT DISTINCT doc_id, term FROM (
-      |  SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents) t
-      |WHERE term <> ''""".stripMargin
+    s"""SELECT DISTINCT doc_id, term FROM (
+       |  SELECT doc_id, explode(split($asciiFoldSql, ' ')) AS term FROM documents) t
+       |WHERE term <> ''""".stripMargin
   private val duckTokSql =
-    """SELECT DISTINCT doc_id, term FROM (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
-      |WHERE term <> ''""".stripMargin
+    s"""SELECT DISTINCT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split($asciiFoldSql, ' ')) AS term FROM documents) t
+       |WHERE term <> ''""".stripMargin
 
   /** The shared TF-IDF core (A10/A11): `tok` → df/n/idf/v/nrm CTE
     * prefix, identical text in both dialects. ONE copy — tfidf_micro,

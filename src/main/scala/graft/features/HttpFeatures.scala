@@ -306,31 +306,48 @@ object HttpFeatures {
 
   /** `get_form_in_javascript` (:92-137). Quirks mirrored: `name`/`id`
     * attr values are iterated as CHARACTERS (Python `for j in i.get(..)`
-    * over a string), `class` as bs4 multi-value tokens. */
+    * over a string), `class` as bs4 multi-value tokens.
+    *
+    * The comparisons are Python 2 CROSS-TYPE equality: bs4-unicode
+    * attr (`i.strip()`, Py_UNICODE_ISSPACE) vs a byte-str regex group
+    * (`text.strip()`, ASCII). `u == b` coerces the BYTE side via ascii
+    * decode and is False whenever it contains a non-ASCII byte — so a
+    * non-ASCII `text` can never match (mirrored by the isAscii gate);
+    * a non-ASCII attr char simply never equals an ASCII `text`. */
   def formInJavascript(st: State): Boolean = {
     if (st.scriptBlockRows == 0) return false
     val forms = TagScanner.findAll(st.tags, "form")
+    // unicode-side strips hoisted: loop-invariant across script rows
     val formNameChars = forms.flatMap(f => f.getOpt("name").filter(_.nonEmpty).toVector.flatMap(_.map(_.toString)))
-    val formClassNames = forms.flatMap(_.classList)
+      .map(Py.stripUni)
+    val formClassNames = forms.flatMap(_.classList).map(Py.stripUni)
     val formIdChars = forms.flatMap(f => f.getOpt("id").filter(_.nonEmpty).toVector.flatMap(_.map(_.toString)))
+      .map(Py.stripUni)
+    val formClassOrId = formClassNames ++ formIdChars
+    def isAscii(s: String): Boolean = {
+      var i = 0
+      while (i < s.length && s.charAt(i) < 0x80) i += 1
+      i == s.length
+    }
+    def hit(attrs: Vector[String], group: String): Boolean = {
+      val text = Py.strip(group)
+      isAscii(text) && attrs.contains(text)
+    }
     var number = 0
     for (row0 <- st.scriptBlock) {
       val row = Py.rstrip(row0)
       Py.pySearchMGuarded("^.*getElementById\\(.([^)]*).\\).*$", row) match {
         case Some(m) =>
-          val text = Py.strip(m.group(1))
-          if (formIdChars.exists(i => Py.stripUni(i) == text)) number += 1
+          if (hit(formIdChars, m.group(1))) number += 1
         case None =>
           if (Py.pySearchMGuarded("^.*getElementsByTagName\\(.form.\\).*$", row).isDefined) number += 1
           else Py.pySearchMGuarded("^.*getElementsByClassName\\(.([^)]*).\\).*$", row) match {
             case Some(m) =>
-              val text = Py.strip(m.group(1))
-              if (formClassNames.exists(i => Py.stripUni(i) == text)) number += 1
+              if (hit(formClassNames, m.group(1))) number += 1
             case None =>
               Py.pySearchMGuarded("^.*forms\\[.([^\\]]*).\\].*$", row) match {
                 case Some(m) =>
-                  val text = Py.strip(m.group(1))
-                  if (formNameChars.exists(i => Py.stripUni(i) == text)) number += 1
+                  if (hit(formNameChars, m.group(1))) number += 1
                 case None =>
                   // reference uses re.match here (:123) — anchored
                   if (row.contains("getElementsByName") &&
@@ -338,14 +355,10 @@ object HttpFeatures {
                     val m = java.util.regex.Pattern
                       .compile("^.*getElementsByName\\(.([^)]*).\\).*$", java.util.regex.Pattern.MULTILINE)
                       .matcher(row)
-                    if (m.lookingAt()) {
-                      val text = Py.strip(m.group(1))
-                      if (formNameChars.exists(i => Py.stripUni(i) == text)) number += 1
-                    }
+                    if (m.lookingAt() && hit(formNameChars, m.group(1))) number += 1
                   } else Py.pySearchMGuarded("^.*querySelector\\(.([^)]*).\\).*$", row) match {
                     case Some(m) =>
-                      val text = Py.strip(m.group(1))
-                      if ((formClassNames ++ formIdChars).exists(i => Py.stripUni(i) == text)) number += 1
+                      if (hit(formClassOrId, m.group(1))) number += 1
                     case None => ()
                   }
               }

@@ -236,9 +236,10 @@ object Py {
       "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200A" +
       "\u2028\u2029\u202F\u205F\u3000"
 
-  /** [[uniWhitespace]] as a SQL `chr(..) || ..` expression (valid in
-    * both DuckDB and Spark SQL; chr() keeps the oracle text free of
-    * raw control characters). */
+  /** [[uniWhitespace]] as a DUCKDB `chr(..) || ..` expression (chr()
+    * keeps the oracle text free of raw control characters). DuckDB-only:
+    * Spark's chr(n) wraps n % 256, which would turn the supra-Latin-1
+    * entries into printable ASCII and make trim() eat real data. */
   val uniWhitespaceSql: String =
     uniWhitespace.map(c => s"chr(${c.toInt})").mkString(" || ")
 
@@ -291,7 +292,12 @@ object Py {
 
   /** Python 2 `unicode.lower()` — the simple 1:1 code-point mapping
     * (`Character.toLowerCase(int)`), never length-changing and never
-    * locale-sensitive. */
+    * locale-sensitive. Honest caveat: the JDK's table is the running
+    * Unicode version (17 → 13.0) while CPython 2.7 shipped 5.2, so
+    * characters that GAINED case mappings after 5.2 (e.g. Cherokee
+    * U+13A0.., U+037F) fold here but are identity in the reference —
+    * pinning the 5.2 delta would mean embedding the full mapping
+    * table; documented instead. */
   def lowerUni(s: String): String = {
     var i = 0
     val n = s.length

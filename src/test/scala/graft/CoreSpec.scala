@@ -168,6 +168,9 @@ class PyHelperSpec extends AnyFunSuite {
     assert(Py.pySplitWs("  a  b ").toSeq == Seq("a", "b"))
     assert(Py.pySplitWs("a b").toSeq == Seq("a", "b"))
     assert(Py.pySplitWs("").toSeq == Seq())
+    // '\x1ca b'.split() in python2 keeps the FS byte in the first
+    // token — a trim() pre-pass would eat it (trim strips <= 0x20)
+    assert(Py.pySplitWs("\u001Ca b").toSeq == Seq("\u001Ca", "b"))
   }
 }
 

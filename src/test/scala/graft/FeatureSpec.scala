@@ -214,6 +214,28 @@ class HttpFeatureSpec extends AnyFunSuite {
     assert(v(2) == 0.0 && v(3) == 1.0)
   }
 
+  test("form_in_javascript cross-type equality: non-ASCII id never matches") {
+    // python2 compares a bs4-UNICODE attr against a BYTE-str regex
+    // group: u'ñ' == 'ñ'.encode('utf-8') ascii-decodes the
+    // byte side, fails, and returns False — so a non-ASCII id
+    // referenced from script is NOT a form_in_javascript hit, even
+    // though the decoded texts look equal
+    // single-char id: the reference iterates id VALUES per character,
+    // so only 1-char ids can ever match (quirk kept by formIdChars);
+    // script opens at row 1 so the [begin : i-begin+1] slice quirk
+    // keeps the getElementById row inside the captured block
+    val b = Vector(
+      "<x>",
+      " <script>",
+      "var a=document.getElementById('ñ');",
+      " </script>",
+      "<form id=\"ñ\"></form>").mkString("\n") + "\n"
+    assert(!HttpFeatures.formInJavascript(HttpFeatures.buildState(b)))
+    // the ASCII twin matches
+    val ok = b.replace("ñ", "n")
+    assert(HttpFeatures.formInJavascript(HttpFeatures.buildState(ok)))
+  }
+
   test("form_in_javascript positive via early script block") {
     val b = Vector(
       "<x>",
