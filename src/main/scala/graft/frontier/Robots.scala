@@ -86,7 +86,10 @@ object Robots {
     * (exact token beats `*`); multiple agent lines directly above a rule
     * block share the block. Unknown directives are ignored. */
   def parse(text: String, agent: String = "graftbot"): Rules = {
-    val agentLc = agent.toLowerCase
+    // ASCII fold, not String.toLowerCase: directive keys and product
+    // tokens are ASCII per RFC 9309, and the default-locale fold would
+    // break under tr/az locales ("DISALLOW".toLowerCase → "dısallow")
+    val agentLc = graft.py.Py.lowerAscii(agent)
     // state while scanning
     var groupAgents = Vector.empty[String] // agent tokens of the open group
     var inRules = false                    // saw a rule since the agent lines
@@ -103,17 +106,17 @@ object Robots {
       val line = raw.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
       if (ci > 0) {
-        val key = line.substring(0, ci).trim.toLowerCase
+        val key = graft.py.Py.lowerAscii(line.substring(0, ci).trim)
         val value = line.substring(ci + 1).trim
         key match {
           case "user-agent" =>
             if (inRules) { groupAgents = Vector.empty; inRules = false }
-            groupAgents :+= value.toLowerCase
+            groupAgents :+= graft.py.Py.lowerAscii(value)
             // RFC 9309 group selection: a matching exact group WINS even
             // when it ends up empty (e.g. 'User-agent: bot' directly
             // followed by another group) — mark it at the header, so an
             // empty exact group yields allow-all, not the '*' fallback
-            if (value.toLowerCase == agentLc) sawExact = true
+            if (graft.py.Py.lowerAscii(value) == agentLc) sawExact = true
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty) {
