@@ -62,7 +62,13 @@ object Synth {
   /** Scheme dispatch + image-extension skip (spider.py:526-536, S2+S3):
     * shared-dialect WHERE over `seeds`. Mirrors the reference exactly:
     * `url.lower().startswith('http')` and DOTLESS
-    * `url.lower().endswith('ico')` etc — '…/calico' IS skipped. */
+    * `url.lower().endswith('ico')` etc — '…/calico' IS skipped.
+    * Documented divergence: SQL lower() is the unicode mapping while
+    * the reference byte-lowers (ASCII-only); they can differ only when
+    * a url's last 3-4 chars include a non-ASCII CASED letter — none of
+    * the skip suffixes is reachable that way except via exotica like
+    * U+212A→'k', and keeping lower() keeps the predicate pushdown-able
+    * and identical in both oracle dialects. */
   val fetchableWhere: String =
     """(lower(url) LIKE 'http%')
       | AND NOT (lower(url) LIKE '%ico' OR lower(url) LIKE '%jpg' OR lower(url) LIKE '%png'
