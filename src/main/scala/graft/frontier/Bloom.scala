@@ -13,12 +13,8 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final class Bloom(val bits: Array[Long], val numHashes: Int) extends SeenFilter {
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // the ONE splitmix64 copy — blob compatibility hangs on these constants
+  private def mix(z0: Long): Long = graft.ops.PortableHash.mix64(z0)
 
   private def nBits: Int = bits.length * 64
 

@@ -29,12 +29,8 @@ final class Cuckoo(
   private def numBuckets: Int = table.length / bucketSize
   private def mask: Int = numBuckets - 1
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // the ONE splitmix64 copy — blob compatibility hangs on these constants
+  private def mix(z0: Long): Long = graft.ops.PortableHash.mix64(z0)
 
   /** 16-bit nonzero fingerprint. */
   private def fpOf(h: Long): Short = {
@@ -88,17 +84,20 @@ final class Cuckoo(
       if (tryPlace(curI, curFp)) return
       kick += 1
     }
-    // Walk failed: the first walk write placed h's own fp, so what is
-    // missing from the table now is the FINAL displaced fingerprint
-    // curFp, owned by some other key (or by h itself if the walk
-    // cycled). Keep the no-false-negative contract exactly: stash h,
-    // and ALWAYS stash a fingerprint sentinel for curFp — even when
-    // curFp == fp numerically, since the displaced copy may belong to a
-    // different key sharing the 16-bit fingerprint, which mightContain
-    // can then only answer via the sentinel. Sentinels trade a few
-    // extra false positives (p = 2^-48 per real-hash collision with the
-    // tag) for zero false negatives.
-    stash += h
+    // Walk failed: the table now holds what it started with, plus h's
+    // fp (the first walk write), minus the FINAL displaced fingerprint
+    // curFp — we know the VALUE that lost a copy but not which key
+    // owned it (it may even be h's own copy back out, if the walk
+    // cycled). ONE fingerprint sentinel for curFp restores the
+    // no-false-negative contract for every candidate owner: h itself
+    // is covered by its table copy (normal case) or by the sentinel
+    // (curFp == fp cycle case). No raw-key stash entry — that would
+    // double-mark h (table copy + stash), and delete(h) could then
+    // only ever clear one of the two marks, leaving the key
+    // permanently seen. Each put adds exactly one mark; delete removes
+    // exactly one matching mark. Sentinels trade a few extra false
+    // positives (p = 2^-48 per real-hash collision with the tag) for
+    // zero false negatives.
     stash += Cuckoo.FpSentinelTag | (curFp.toLong & 0xffffL)
   }
 
@@ -111,8 +110,14 @@ final class Cuckoo(
 
   /** Delete one copy of h's fingerprint (only call for keys actually
     * inserted, once per matching put — standard cuckoo-filter
-    * contract; put() keeps one copy per insert so colliding keys stay
-    * independent). Returns true if something was removed. */
+    * contract; put() keeps one mark per insert so colliding keys stay
+    * independent). Marks are fingerprint-multiset arithmetic: a table
+    * copy first, else one matching fingerprint sentinel (a failed walk
+    * may have displaced THIS key's copy into the sentinel; removing a
+    * copy that textually belonged to a colliding key is fine — counts
+    * are preserved, so no survivor false-negatives). Raw stash keys
+    * only occur in blobs written before sentinels-only puts; honored
+    * for compatibility. Returns true if something was removed. */
   def delete(h: Long): Boolean = {
     val fp = fpOf(h)
     def rm(b: Int): Boolean = {
@@ -126,7 +131,11 @@ final class Cuckoo(
     val i1 = i1Of(h)
     val si = stash.indexOf(h)
     if (si >= 0) { stash.remove(si); true }
-    else rm(i1) || rm(altOf(i1, fp))
+    else if (rm(i1) || rm(altOf(i1, fp))) true
+    else {
+      val fi = stash.indexOf(Cuckoo.FpSentinelTag | (fp.toLong & 0xffffL))
+      if (fi >= 0) { stash.remove(fi); true } else false
+    }
   }
 
   def load: Double = table.count(_ != 0).toDouble / table.length

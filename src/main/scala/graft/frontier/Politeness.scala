@@ -64,7 +64,12 @@ object Politeness {
       if (twoPhaseRank) withTwoPhaseHostRank(withDelay)
       else withDelay.withColumn("host_rank", row_number().over(w))
     ranked
-      .withColumn("tokens", greatest(lit(1L), floor(lit(wavePeriodMs) / col("delay_ms")).cast("long")))
+      // delay clamped to >= 1ms BEFORE dividing: a robots 'Crawl-delay: 0'
+      // (maximum permissiveness) otherwise aborts the plan job under
+      // Spark 4's ANSI-default divide-by-zero — and with ANSI off would
+      // silently throttle the zero-delay host to 1 token/wave
+      .withColumn("tokens", greatest(lit(1L),
+        floor(lit(wavePeriodMs) / greatest(lit(1L), col("delay_ms"))).cast("long")))
       .withColumn("rel_wave", floor((col("host_rank") - 1) / col("tokens")).cast("int"))
       .drop("delay_ms")
   }
@@ -100,15 +105,21 @@ object Politeness {
     * [[graft.jobs.CrawlWave.Config.scalableRank]] selects it. */
   def withTwoPhaseHostRank(rows: DataFrame, chunksHint: Int = 0): DataFrame = {
     val spark = rows.sparkSession
+    // min/max ignore nulls; an empty OR all-null-seq frame takes lo=hi=0
+    // and the coalesce below puts every row in chunk 0, where the local
+    // rank alone IS the global rank — no special-cased constant rank
+    // (which assigned duplicate rank 1 to every row of an all-null frame)
     val bounds = rows.agg(min("seq"), max("seq")).head
-    if (bounds.isNullAt(0)) // empty frame: rank column only, no rows
-      return rows.withColumn("host_rank", lit(1))
-    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val hi = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
     val nChunks = if (chunksHint > 0) chunksHint
       else spark.sparkContext.defaultParallelism * 16
     val w = math.max(1L, (hi - lo) / nChunks + 1)
+    // null seq → chunk 0 (the FIRST chunk): asc ordering sorts nulls
+    // first, so the single-window form ranks null-seq rows ahead of all
+    // real seqs — chunk 0 with a nulls-first local sort preserves that
     val withChunk = rows.withColumn("__chunk",
-      expr(s"CAST((seq - ${lo}L) DIV ${w}L AS BIGINT)"))
+      expr(s"CAST((coalesce(seq, ${lo}L) - ${lo}L) DIV ${w}L AS BIGINT)"))
     val wLocal = Window.partitionBy("host", "priority", "__chunk")
       .orderBy(col("seq").asc)
     val wCum = Window.partitionBy("host")

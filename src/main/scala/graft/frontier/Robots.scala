@@ -142,11 +142,19 @@ object Robots {
   }
 
   /** URL path (+query) for robots matching: everything from the first
-    * `/` after the authority; `/` when the URL has no path. */
+    * `/` after the authority; `/` when the URL has no path. The
+    * fragment is NOT part of the request (RFC 9309 matches
+    * path-plus-query) — kept in, it breaks `$`-anchored rules
+    * ('Disallow: /p/3$' must match 'http://h/p/3#top') and exposes
+    * fragment text to pattern matching. */
   def pathOf(url: String): String = {
-    val i = url.indexOf("//")
-    if (i < 0) return if (url.startsWith("/")) url else "/"
-    val rest = url.substring(i + 2)
+    val noFrag = {
+      val f = url.indexOf('#')
+      if (f < 0) url else url.substring(0, f)
+    }
+    val i = noFrag.indexOf("//")
+    if (i < 0) return if (noFrag.startsWith("/")) noFrag else "/"
+    val rest = noFrag.substring(i + 2)
     val s = rest.indexOf('/')
     if (s >= 0) rest.substring(s)
     else {

@@ -323,6 +323,13 @@ final class CrawlWave(
   // Each generation owns its prefetch scratch dataset (gen 0 keeps the
   // bare name so pre-discovery stores stay readable).
   private var generation: Int = 0
+  // first wave of the current generation. Prefetch lower bound: prior
+  // generations' rows are still state='ready' in the frontier table
+  // (per-wave outcomes live in frontier_delta until the final-wave
+  // reconcile), so an unbounded ready-filter would re-fetch and
+  // re-extract every earlier generation into each new scratch dataset
+  // — up to maxGenerations× redundant compute and disk.
+  private var genWave0: Int = 0
   private def scratchName: String =
     if (generation == 0) "prefetch" else s"prefetch_g$generation"
   // fetch+extract of the WHOLE plan, one co-partitioned join + one
@@ -433,6 +440,7 @@ final class CrawlWave(
         "metrics" -> emptyMetrics(spark),
         "frontier_delta" -> emptyDelta(spark)),
       metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
+        "gen_wave0" -> 0L,
         "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong)))
     frontier.unpersist()
     releasePlanScratch()
@@ -453,6 +461,9 @@ final class CrawlWave(
     planMaxWave = m.getOrElse("max_wave",
       store.metricsOf(1).getOrElse("max_wave", -1L)).toInt
     generation = m.getOrElse("gen", 0L).toInt
+    // stores written before the bound existed fall back to 0: a
+    // superset prefetch — redundant work, never wrong results
+    genWave0 = m.getOrElse("gen_wave0", 0L).toInt
     // the latest manifest's wave metric IS the cursor (init wrote -1)
     nextWave = m.getOrElse("wave", -1L).toInt + 1
   }
@@ -485,7 +496,9 @@ final class CrawlWave(
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))) {
         val withLinks = cfg.discover // capture the flag, not the config
         plan
-          .where(col("state") === "ready")
+          // wave >= genWave0: fetch THIS generation only (earlier
+          // generations are still 'ready' in the table — see genWave0)
+          .where(col("state") === "ready" && col("wave") >= genWave0)
           .select("seq", "url", "host", "wave", "url_hash")
           .repartition(cfg.partitions, col("url"))
           .hint("SHUFFLE_HASH")
@@ -565,13 +578,15 @@ final class CrawlWave(
         store.read("frontier", v).unionByName(planned)),
       append = Map("errors" -> planErrors(planned)),
       metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
-        "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered),
+        "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered,
+        "gen_wave0" -> (planMaxWave + 1).toLong),
       expectedParent = Some(v))
     discovered.unpersist(); planned.unpersist(); releasePlanScratch()
     // swap the plan state to the new generation (its scratch dataset is
     // written lazily by the first new wave's prefetchAll)
     cleanup()
     generation += 1
+    genWave0 = planMaxWave + 1 // == nextWave: first wave of the new gen
     plan = store.read("frontier", c).cache()
     planMaxWave = newMax
     // nextWave is already old-planMaxWave + 1 — the first new wave
@@ -786,6 +801,7 @@ final class CrawlWave(
         append = appendDf,
         appendRef = refs,
         metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
+          "gen_wave0" -> genWave0.toLong,
           "errors" -> nErr, "render_mismatches" -> nMismatch,
           "max_wave" -> planMaxWave.toLong, "gen" -> generation.toLong),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),

@@ -248,8 +248,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * read, zero Spark jobs (the crawl engine derives its wave cursor
     * and plan bounds from these instead of re-aggregating tables). */
   def metricsOf(version: Int): Map[String, Long] = {
-    val node = mapper.readTree(Files.readString(manifestPath(version)))
-    val m = node.get("metrics")
+    val m = manifestNode(version).get("metrics")
     if (m == null) Map.empty
     else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
@@ -268,20 +267,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def render(v: Int, parent: Option[Int], tables: Map[String, Seq[String]],
       counts: Map[String, Long], metrics: Map[String, Long],
       schemas: Map[String, String], views: Map[String, Seq[ViewRef]]): String = {
+    // keys go through the SAME JSON escaping as values: an unescaped
+    // quote/backslash in a table or metric key would write an invalid
+    // manifest that bricks every later parse of this store
+    def key(k: String) = mapper.writeValueAsString(k)
     def obj(m: Map[String, Long]) =
-      m.toSeq.sortBy(_._1).map { case (k, x) => s""""$k": $x""" }.mkString("{", ", ", "}")
+      m.toSeq.sortBy(_._1).map { case (k, x) => s"${key(k)}: $x" }.mkString("{", ", ", "}")
     def strs(xs: Seq[String]) =
       xs.map(x => mapper.writeValueAsString(x.replace("\\", "/"))).mkString("[", ", ", "]")
     val tbl = tables.toSeq.sortBy(_._1).map { case (k, dirs) =>
-      s""""$k": ${strs(dirs)}"""
+      s"${key(k)}: ${strs(dirs)}"
     }.mkString("{", ", ", "}")
     val sch = schemas.toSeq.sortBy(_._1).map { case (k, ddl) =>
-      s""""$k": ${mapper.writeValueAsString(ddl)}"""
+      s"${key(k)}: ${mapper.writeValueAsString(ddl)}"
     }.mkString("{", ", ", "}")
     def grp(vr: ViewRef) =
       s"""{"base": ${mapper.writeValueAsString(vr.base.replace("\\", "/"))}, "dirs": ${strs(vr.dirs)}, "where": ${mapper.writeValueAsString(vr.where)}, "select": ${strs(vr.select)}}"""
     val vws = views.toSeq.sortBy(_._1).map { case (k, grs) =>
-      s""""$k": ${grs.map(grp).mkString("[", ", ", "]")}"""
+      s"${key(k)}: ${grs.map(grp).mkString("[", ", ", "]")}"
     }.mkString("{", ", ", "}")
     s"""{"version": $v, "parent": ${parent.getOrElse(0)}, "tables": $tbl, "row_counts": ${obj(counts)}, "metrics": ${obj(metrics)}, "schemas": $sch, "views": $vws}"""
   }

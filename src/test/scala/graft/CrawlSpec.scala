@@ -242,6 +242,42 @@ class CrawlSpec extends AnyFunSuite {
     val gotH = Politeness.withTwoPhaseHostRank(dfH.repartition(3))
       .select("seq", "host_rank").as[(Long, Int)].collect().toMap
     assert(gotH == expectedH, "two-phase rank dropped/misranked null hosts")
+    // null SEQs, one per (host, priority) so tie order is determined:
+    // asc sorts nulls first, so the null-seq row must rank FIRST in its
+    // group — chunk-0 placement with a nulls-first local sort
+    val dfS = spark.createDataset(Seq(
+      (Option.empty[Long], "h1", 0), (Some(10L), "h1", 0), (Some(20L), "h1", 0),
+      (Some(5L), "h1", 1), (Option.empty[Long], "h1", 1),
+      (Option.empty[Long], "h2", 0), (Some(7L), "h2", 0)))
+      .toDF("seq", "host", "priority")
+    val expectedS = dfS.withColumn("host_rank", row_number().over(w))
+      .select("host", "priority", "seq", "host_rank")
+      .as[(String, Int, Option[Long], Int)].collect().toSet
+    val gotS = Politeness.withTwoPhaseHostRank(dfS.repartition(3))
+      .select("host", "priority", "seq", "host_rank")
+      .as[(String, Int, Option[Long], Int)].collect().toSet
+    assert(gotS == expectedS, "two-phase rank dropped/misranked null seqs")
+    // ALL-null seq: per host the ranks must be a permutation of 1..n
+    // (the old empty-bounds special case assigned constant rank 1)
+    val dfA = df.withColumn("seq", lit(null).cast("long"))
+    val gotA = Politeness.withTwoPhaseHostRank(dfA.repartition(3))
+      .groupBy("host").agg(collect_list("host_rank").as("rs"))
+      .as[(String, Seq[Int])].collect()
+    assert(gotA.nonEmpty)
+    for ((h, rs) <- gotA)
+      assert(rs.sorted == (1 to rs.length).toList, s"host=$h ranks=$rs")
+  }
+
+  test("politeness: crawl-delay 0 grants the full wave of tokens, no div-by-zero") {
+    import spark.implicits._
+    val ready = Seq((1L, "z.example", 0), (2L, "z.example", 0), (3L, "z.example", 0))
+      .toDF("seq", "host", "priority")
+      .withColumn("crawl_delay_ms", lit(0L))
+    // ANSI-mode Spark 4 would abort the job on 1000/0 without the clamp
+    val sched = Politeness.schedule(ready, wavePeriodMs = 1000L)
+      .select("seq", "tokens", "rel_wave").as[(Long, Long, Int)].collect()
+    assert(sched.forall(_._2 == 1000L), s"tokens=${sched.map(_._2).toSeq}")
+    assert(sched.forall(_._3 == 0)) // all three fit the first wave
   }
 
   test("scalableRank crawl produces the identical frontier") {
@@ -328,6 +364,22 @@ class CrawlSpec extends AnyFunSuite {
     val errUrls = discStore.readLatest("errors").get
       .where(col("seq") > maxSeed).select("url").as[String].collect().toSet
     assert(errUrls == expectedDiscovered.toSet)
+  }
+
+  test("discovery: gen-1 prefetch scratch holds ONLY gen-1 waves (no re-fetch of gen 0)") {
+    import spark.implicits._
+    // prior generations stay state='ready' in the frontier table until
+    // the final reconcile, so an unbounded ready-filter would re-fetch
+    // and re-extract all of generation 0 into this dataset
+    val maxSeed = Fixtures.seeds(spark, dir).agg(max("seq")).head.getLong(0)
+    val maxSeedWave = discStore.readLatest("frontier").get
+      .where(col("seq") <= maxSeed).agg(max("wave")).head.getInt(0)
+    val g1 = spark.read.parquet(discStore.scratchPath("prefetch_g1"))
+    assert(g1.count() == expectedDiscovered.length) // exactly the new outlinks
+    assert(g1.agg(min("wave")).head.getInt(0) > maxSeedWave)
+    // and generation 0's scratch stayed within its own waves
+    val g0 = spark.read.parquet(discStore.scratchPath("prefetch"))
+    assert(g0.agg(max("wave")).head.getInt(0) <= maxSeedWave)
   }
 
   test("discovery: seen set grows by the discovered URLs; gen-2 finds nothing new") {

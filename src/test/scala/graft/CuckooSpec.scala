@@ -99,6 +99,23 @@ class CuckooSpec extends AnyFunSuite {
     }
   }
 
+  test("one mark per put: deleting once per put empties even saturated filters") {
+    // put adds exactly one mark (table copy OR fp sentinel); delete
+    // removes exactly one matching mark. Through heavy walk-failure
+    // territory the books must balance: nothing left after deleting
+    // every key once. (The old failed-walk path stashed the raw key
+    // AND a sentinel — two marks — leaving keys permanently seen.)
+    val rnd = new scala.util.Random(991)
+    for (trial <- 0 until 100) {
+      val f = Cuckoo(capacity = 4 + rnd.nextInt(12))
+      val xs = List.fill(50 + rnd.nextInt(200))(rnd.nextLong())
+      xs.foreach(f.put)
+      xs.foreach(k => assert(f.delete(k), s"trial=$trial: delete found no mark"))
+      assert(f.load == 0.0, s"trial=$trial: table copies left")
+      assert(f.stash.isEmpty, s"trial=$trial: sentinels left")
+    }
+  }
+
   test("property sweep: membership holds for many key-set shapes and sizes") {
     val rnd = new scala.util.Random(12345)
     for (trial <- 0 until 50) {

@@ -161,4 +161,15 @@ class RobotsSpec extends AnyFunSuite {
         |""".stripMargin
     assert(!Robots.parse(merged, "graftbot").isAllowed("/x"))
   }
+
+  test("pathOf strips the fragment (RFC 9309 matches path-plus-query only)") {
+    assert(Robots.pathOf("http://h/p/3#top") == "/p/3")
+    assert(Robots.pathOf("http://h/p?q=1#f") == "/p?q=1")
+    assert(Robots.pathOf("http://h#frag") == "/")
+    assert(Robots.pathOf("http://h?q=1#f") == "/?q=1")
+    // a $-anchored rule must match a fragment-bearing URL
+    val r = Robots.parse("User-agent: *\nDisallow: /p/3$\n")
+    assert(!r.isAllowed(Robots.pathOf("http://h/p/3#top")))
+    assert(r.isAllowed(Robots.pathOf("http://h/p/34")))
+  }
 }

@@ -23,6 +23,20 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.manifest(1).contains("\"k\": 7"))
   }
 
+  test("manifest survives quotes/backslashes in table and metric keys") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-esc-").toString
+    val st = new SnapshotTable(spark, root)
+    val weird = "host \"a\"\\b"
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")),
+      metrics = Map(weird -> 7L))
+    // the NEXT commit parses the previous manifest — an unescaped key
+    // bricked the store here
+    val v2 = st.commit(replace = Map("t" -> Seq(2).toDF("x")))
+    assert(st.metricsOf(1).get(weird).contains(7L))
+    assert(st.read("t", v2).count() == 1)
+  }
+
   test("latestVersion sees versions past 99999 (%05d pads, never truncates)") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-big-").toString
