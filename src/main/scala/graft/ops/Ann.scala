@@ -27,11 +27,17 @@ object Ann {
 
   /** Shared cosine expression over two double-array columns (left-to-right
     * fold, matching DuckDB's `list_cosine_similarity` evaluation order so
-    * oracle comparisons are bit-stable). */
+    * oracle comparisons are bit-stable). A zero-norm side yields NULL via
+    * nullif (single evaluation, bit-identical for real vectors) — NULL
+    * ranks LAST under `desc` and fails every `>= threshold` filter,
+    * where the raw 0/0 NaN would rank FIRST in Spark's double ordering
+    * and silently displace a real neighbour per query. (DuckDB's
+    * list_cosine_similarity has no such guard; fixtures carry no
+    * zero-norm embeddings, and deployments should pre-filter them.) */
   def cosineExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
-       |    * sqrt(aggregate($b, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin
+       | / nullif(sqrt(aggregate($a, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))
+       |    * sqrt(aggregate($b, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))), 0.0d)""".stripMargin
 
   /** Exact cosine top-k for each query vector. Queries are selected by
     * the caller (small set → broadcast). Tie-break: cosine desc, then
@@ -46,6 +52,10 @@ object Ann {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     q.join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cosine", expr(cosineExpr("qv", "cv")))
+      // zero-norm side -> NULL cosine (see cosineExpr): undefined
+      // similarity is not a neighbour; unfiltered, row_number would
+      // still hand NULL-cosine rows ranks
+      .where(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id").asc)))
@@ -172,6 +182,10 @@ object Ann {
       .where(col("query_id") =!= col("cand_id"))
       .select("query_id", "qv", "cand_id", "cv").dropDuplicates("query_id", "cand_id")
       .withColumn("cosine", expr(cosineExpr("qv", "cv")))
+      // zero-norm side -> NULL cosine (see cosineExpr): undefined
+      // similarity is not a neighbour; unfiltered, row_number would
+      // still hand NULL-cosine rows ranks
+      .where(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id").asc)))
@@ -239,18 +253,23 @@ object Ann {
     val packed = broadcast(
       cent.agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnorm")))).as("cents")))
     // row-local argmax: cos(v, c) = dot/(|v|·|c|), left-to-right fold
-    // order identical to cosineExpr so the oracle's doubles match
+    // order identical to cosineExpr so the oracle's doubles match.
+    // transform-then-argmax, NOT a CASE that repeats the dot product:
+    // common-subexpression elimination does not reach inside
+    // higher-order-function lambdas, so the CASE form computed each
+    // O(dim) dot TWICE per (row, centroid) — the documented dominant
+    // cost of this operator. Strict `>` keeps the earlier (smallest,
+    // cents are cid-sorted) centroid on exact ties, as before; a
+    // zero-norm row's NULL cosines never beat the seed, so it gets
+    // cell -1 and is simply never probed.
     val assignExpr = expr(
-      s"""aggregate(cents,
+      s"""aggregate(
+         |  transform(cents, c -> named_struct(
+         |    'bc', aggregate(zip_with(cv0, c.cv, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)
+         |      / nullif(vnorm * c.cnorm, 0.0d),
+         |    'bid', c.cid)),
          |  named_struct('bc', cast(-2.0 as double), 'bid', cast(-1 as bigint)),
-         |  (acc, c) -> CASE WHEN
-         |      (aggregate(zip_with(cv0, c.cv, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)
-         |        / (vnorm * c.cnorm)) > acc.bc
-         |    THEN named_struct(
-         |      'bc', aggregate(zip_with(cv0, c.cv, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)
-         |        / (vnorm * c.cnorm),
-         |      'bid', c.cid)
-         |    ELSE acc END,
+         |  (acc, s) -> CASE WHEN s.bc > acc.bc THEN s ELSE acc END,
          |  acc -> acc.bid)""".stripMargin)
     val assigned = corpus
       .select(col(idCol).cast("long").as("cand_id"),
@@ -272,6 +291,10 @@ object Ann {
     broadcast(probed).join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", expr(cosineExpr("qv", "cv")))
+      // zero-norm side -> NULL cosine (see cosineExpr): undefined
+      // similarity is not a neighbour; unfiltered, row_number would
+      // still hand NULL-cosine rows ranks
+      .where(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(
         w.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)))
       .where(col("rank") <= k)

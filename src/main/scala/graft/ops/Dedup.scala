@@ -49,15 +49,25 @@ object Dedup {
   private def mix64(z0: Long): Long = PortableHash.mix64(z0)
 
   /** Within-bucket ordered pair expansion over a `members` array of
-    * `struct(id, …)`: members[i] × members[j > i] → struct with
-    * least/greatest ids plus `payload` fields projected from the `x`/`y`
-    * sides. ONE copy of the slice arithmetic every bucketed operator
-    * shares (minhash ×2, simhash, embedding LSH). */
-  private def pairExpansion(payload: String): String =
-    s"""flatten(transform(members, (x, i) ->
-       |  transform(slice(members, i + 2, size(members)), y ->
-       |    struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
-       |           $payload))))""".stripMargin
+    * `struct(id, …)`: members[i] × members[j > i] → one `p` =
+    * struct(a_id, b_id, <payload>) row per pair, with least/greatest
+    * ids and `payload` fields projected from the `x`/`y` sides. ONE
+    * copy of the slice arithmetic every bucketed operator shares
+    * (minhash ×2, simhash, embedding LSH).
+    *
+    * TWO chained generators, not one flattened array: a single
+    * flatten(transform(...)) materializes all C(n,2) pair structs —
+    * each carrying both payloads — inside ONE row value before the
+    * explode can stream them (~4 GB at the documented maxBucket=2000
+    * with 128-slot signatures). posexplode-then-slice keeps per-row
+    * memory at O(n·payload). */
+  private def pairExpand(buckets: DataFrame, payload: String): DataFrame =
+    buckets
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
+      .select(explode(expr(
+        s"""transform(slice(members, i + 2, size(members)), y ->
+           |  struct(least(x.id, y.id) as a_id, greatest(x.id, y.id) as b_id,
+           |         $payload))""".stripMargin)).as("p"))
 
   /** Distinct char k-shingles of a text, each hashed to a Long. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
@@ -140,8 +150,7 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
 
-    val pairs = buckets.select(
-      explode(expr(pairExpansion("x.sig as sa, y.sig as sb"))).as("p"))
+    val pairs = pairExpand(buckets, "x.sig as sa, y.sig as sb")
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 
@@ -217,10 +226,11 @@ object Dedup {
       .select(col("id"), col("sig"), col("band"),
         concat_ws("|", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
 
-    val pairs = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(pairExpansion("x.sig as sa, y.sig as sb"))).as("p"))
+    val pairs = pairExpand(
+      banded.groupBy("band", "bucket")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+        .where(size(col("members")).between(2, maxBucket)),
+      "x.sig as sa, y.sig as sb")
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 
@@ -318,11 +328,11 @@ object Dedup {
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("(sig >> (band * 16)) & 65535"))
 
-    banded.groupBy("band", "key")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .where(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        pairExpansion("bit_count(x.sig ^ y.sig) as hamming"))).as("p"))
+    pairExpand(
+      banded.groupBy("band", "key")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+        .where(size(col("members")).between(2, maxBucket)),
+      "bit_count(x.sig ^ y.sig) as hamming")
       .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
       .dropDuplicates("a_id", "b_id")
       .where(col("hamming") <= maxHamming)
@@ -411,8 +421,7 @@ object Dedup {
     val buckets = sigs.groupBy("tbl", "sig")
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
       .where(size(col("members")).between(2, maxBucket))
-    val cand = buckets.select(
-      explode(expr(pairExpansion("x.v as av, y.v as bv"))).as("p"))
+    val cand = pairExpand(buckets, "x.v as av, y.v as bv")
       .select(col("p.a_id"), col("p.b_id"), col("p.av"), col("p.bv"))
       .dropDuplicates("a_id", "b_id")
     cand

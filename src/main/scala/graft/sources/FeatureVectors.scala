@@ -21,11 +21,19 @@ object FeatureVectors {
 
   private val mapper = new ObjectMapper()
 
-  private def num(n: JsonNode): Double =
-    if (n.isBoolean) { if (n.asBoolean()) 1.0 else 0.0 }
-    else n.asDouble()
+  /** Numeric value of one element, or None when it is neither a number
+    * nor a boolean. Jackson's asDouble() would silently coerce strings,
+    * nulls and nested objects to 0.0 — a vector with silent zeros (and
+    * possibly the wrong width) entering the training matrix; the
+    * reference passes such elements through to numpy, which rejects
+    * them, so the row is data no one can train on either way. */
+  private def num(n: JsonNode): Option[Double] =
+    if (n.isBoolean) Some(if (n.asBoolean()) 1.0 else 0.0)
+    else if (n.isNumber) Some(n.asDouble())
+    else None
 
-  /** Parse one JSONL line; None for blank/malformed rows. */
+  /** Parse one JSONL line; None for blank/malformed rows (non-array,
+    * or any element that is not a number/boolean after the splice). */
   def parseLine(line: String): Option[Array[Double]] = {
     val t = line.trim
     if (t.isEmpty) return None
@@ -36,7 +44,8 @@ object FeatureVectors {
       if (n >= 4 && node.get(n - 4).isArray)
         (0 until n - 4).map(node.get) ++ (n - 3 until n).map(node.get)
       else (0 until n).map(node.get)
-    Some(spliced.map(num).toArray)
+    val vals = spliced.map(num)
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toArray)
   }
 
   /** The scan: one row per valid line, `vec: array<double>`. */

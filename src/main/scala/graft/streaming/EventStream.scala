@@ -21,8 +21,15 @@ object EventStream {
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
 
-  final case class SessionAcc(var startMs: Long, var lastMs: Long,
-      var n: Long, var total: Double)
+  /** One buffered event: second-floored epoch ms, tie-order id, value. */
+  final case class EvM(t: Long, id: Long, v: Double)
+
+  /** Per-user state: the not-yet-watermark-final events, kept sorted by
+    * (t, id). Memory is bounded by the watermark delay + gap per user —
+    * the price of exact batch-oracle parity under out-of-order arrival
+    * (an incremental (start, last, n, total) accumulator cannot split
+    * retroactively when a late event reveals a gap). */
+  final case class SessionBuf(evs: Seq[EvM])
 
   final case class Session(user_id: Long, session_start_epoch: Long,
       session_end_epoch: Long, n_events: Long, total_value_micro: Long)
@@ -39,63 +46,84 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_micro"))
 
-  private def finish(uid: Long, a: SessionAcc): Session =
-    // HALF_UP like both SQL oracles' round() — math.rint (half-even)
-    // would diverge by 1 micro on exact .5 ties
-    Session(uid, a.startMs / 1000L, a.lastMs / 1000L, a.n,
-      BigDecimal(a.total * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  private def finishS(uid: Long, s: Seq[EvM]): Session =
+    // total summed in (t, id) order; HALF_UP like both SQL oracles'
+    // round() — math.rint (half-even) would diverge by 1 micro on
+    // exact .5 ties. (Known residual: the oracles' SUM aggregates in
+    // arbitrary order, so a session within 1 ULP of an exact .5·1e-6
+    // boundary could still round one micro apart — unobserved on the
+    // fixture space, inherent to float sums across engines.)
+    Session(uid, s.head.t / 1000L, s.last.t / 1000L, s.length.toLong,
+      BigDecimal(s.iterator.map(_.v).sum * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** Split a (t, id)-sorted event buffer on > gapMs silences. */
+  private def splitSorted(evs: Vector[EvM], gapMs: Long): Vector[Vector[EvM]] = {
+    if (evs.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Vector[EvM]]
+    var cur = Vector.newBuilder[EvM]
+    var last = evs.head.t
+    for (e <- evs) {
+      if (e.t - last > gapMs) { out += cur.result(); cur = Vector.newBuilder[EvM] }
+      cur += e
+      last = e.t
+    }
+    out += cur.result()
+    out.result()
+  }
 
   /** Gap-based sessionization with `flatMapGroupsWithState`:
-    * sessions close after `gapSec` of event-time silence.
+    * sessions close after `gapSec` of event-time silence, with EXACT
+    * batch-oracle parity under out-of-order arrival.
     *
     * Streaming (`emitOpen = false`, requires an upstream
-    * `withWatermark("ts", …)`): the open session is carried in
-    * GroupState across micro-batches and emitted when the event-time
-    * timeout fires past the watermark. Batch (`emitOpen = true`): each
-    * group is processed once and the trailing open session is emitted
-    * too — the bounded-input closure of the same logic. */
+    * `withWatermark("ts", …)`): the state buffers the user's
+    * not-yet-final events ([[SessionBuf]]); a session is emitted only
+    * once the watermark passes `end + gap + 999ms` (the floored-second
+    * straddle: a raw ts in `(end+gap, end+gap+999]` floors to exactly
+    * `end+gap` and still merges), because until then an admissible late
+    * event can merge into it — or reveal a gap that splits it. An
+    * incremental accumulator gets both cases wrong: a late event BEFORE
+    * the open session's span would merge despite violating the gap
+    * rule where the sorted batch oracle splits. Batch
+    * (`emitOpen = true`): each group is processed once, sorted, split
+    * and fully emitted — the bounded-input closure of the same logic. */
   def sessionize(events: Dataset[Ev], gapSec: Long, emitOpen: Boolean): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapSec * 1000L
     val timeout =
       if (emitOpen) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
 
-    val fn = (uid: Long, it: Iterator[Ev], state: GroupState[SessionAcc]) => {
-      if (state.hasTimedOut) {
-        val closed = finish(uid, state.get)
+    val fn = (uid: Long, it: Iterator[Ev], state: GroupState[SessionBuf]) => {
+      // FLOOR to the second boundary: the window-SQL oracles gap on
+      // unix_timestamp (whole seconds), so an exact-ms gap here would
+      // split/merge differently on boundary-straddling pairs
+      val incoming = it.map(e =>
+        EvM(Math.floorDiv(e.ts.getTime, 1000L) * 1000L, e.event_id, e.value)).toVector
+      val buffered = state.getOption.map(_.evs.toVector).getOrElse(Vector.empty)
+      val all = (buffered ++ incoming).sortBy(e => (e.t, e.id))
+      val sessions = splitSorted(all, gapMs)
+      if (emitOpen) {
         state.remove()
-        Iterator(closed)
+        sessions.iterator.map(s => finishS(uid, s))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        val out = Seq.newBuilder[Session]
-        var acc: SessionAcc = state.getOption.orNull
-        for (e <- sorted) {
-          // FLOOR to the second boundary: the window-SQL oracles gap on
-          // unix_timestamp (whole seconds), so an exact-ms gap here
-          // would split/merge differently on boundary-straddling pairs
-          // (the fixture timestamps all carry sub-second parts)
-          val t = Math.floorDiv(e.ts.getTime, 1000L) * 1000L
-          if (acc == null) acc = SessionAcc(t, t, 1, e.value)
-          else if (t - acc.lastMs > gapMs) {
-            out += finish(uid, acc)
-            acc = SessionAcc(t, t, 1, e.value)
-          } else {
-            // max/min, not assignment: a late event arriving in a later
-            // micro-batch (within watermark) must not rewind the session
-            // bounds or the gap/timeout baseline
-            acc.lastMs = math.max(acc.lastMs, t)
-            acc.startMs = math.min(acc.startMs, t)
-            acc.n += 1; acc.total += e.value
-          }
+        val wm = state.getCurrentWatermarkMs()
+        // sessions are time-ordered and finality is monotone, so the
+        // final prefix can emit; the rest stays buffered
+        val (closed, open) = sessions.span(s => s.last.t + gapMs + 999L < wm)
+        val rest = open.flatten
+        if (rest.isEmpty) state.remove()
+        else {
+          state.update(SessionBuf(rest))
+          // fire when the OLDEST buffered session can finalize; merges
+          // only push ends later, so firing early is safe — the
+          // hasTimedOut pass re-checks against the real watermark and
+          // re-arms (strictly later, since a timeout implies wm >= the
+          // old timestamp and the new one is > wm)
+          state.setTimeoutTimestamp(
+            math.max(open.head.last.t + gapMs + 999L, wm + 1L))
         }
-        if (emitOpen) {
-          if (acc != null) out += finish(uid, acc)
-          state.remove()
-        } else if (acc != null) {
-          state.update(acc)
-          state.setTimeoutTimestamp(acc.lastMs + gapMs)
-        }
-        out.result().iterator
+        closed.iterator.map(s => finishS(uid, s))
       }
     }
     events.groupByKey(_.user_id).flatMapGroupsWithState(OutputMode.Append, timeout)(fn)

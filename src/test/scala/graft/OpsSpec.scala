@@ -67,6 +67,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) || out((1L, 3L)) < 0.05)
   }
 
+  test("zero-norm vectors never rank: NULL cosine, not rank-1 NaN") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero norm: raw 0/0 NaN would rank FIRST
+      (4L, Array(0.5f, 0.5f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.where($"vec_id" === 1L)
+    val top = Ann.bruteForceTopK(e, q, k = 2)
+      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(2L, 4L), s"got ${top.toSeq}")
+    // and as a QUERY a zero vector returns no NaN rows either
+    val qz = e.where($"vec_id" === 3L)
+    val tz = Ann.bruteForceTopK(e, qz, k = 2).collect()
+    assert(tz.isEmpty, s"got ${tz.toSeq}")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") % 50 === 0)

@@ -127,6 +127,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late event a full gap BEFORE the open session splits like the batch oracle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(
+      mem.toDS().withWatermark("ts", "2 hours"), gapSec = 1800, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sess_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(0, ts(60), 1, 2.0))  // open session at 01:00
+      q.processAllAvailable()
+      // LATE but admissible (within the 2h watermark): 00:00 is a full
+      // hour before the open session — the sorted batch oracle puts it
+      // in its OWN session (gap 60min > 30min); an incremental
+      // accumulator would merge it (t - lastMs is negative)
+      mem.addData(Ev(1, ts(0), 1, 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(600), 2, 7.0)) // advance watermark, close both
+      q.processAllAvailable()
+      val closed = spark.table("sess_split").as[EventStream.Session]
+        .collect().filter(_.user_id == 1).sortBy(_.session_start_epoch)
+      assert(closed.length == 2, s"got ${closed.toSeq}")
+      assert(closed(0).n_events == 1 &&
+        closed(0).session_start_epoch == ts(0).getTime / 1000 &&
+        closed(0).session_end_epoch == ts(0).getTime / 1000)
+      assert(closed(1).n_events == 1 &&
+        closed(1).session_start_epoch == ts(60).getTime / 1000)
+    } finally q.stop()
+  }
+
   test("hourly windowed counts run on a stream (complete mode) and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

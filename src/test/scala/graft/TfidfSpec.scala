@@ -131,6 +131,13 @@ class FeatureVectorsSpec extends AnyFunSuite {
   test("blank and malformed lines drop; distributed read returns vec rows") {
     assert(FeatureVectors.parseLine("   ").isEmpty)
     assert(FeatureVectors.parseLine("{\"not\": \"array\"}").isEmpty)
+    // non-numeric ELEMENTS are malformed too (asDouble would silently
+    // coerce them to 0.0 and corrupt the training matrix)
+    assert(FeatureVectors.parseLine("[1, \"oops\", 3]").isEmpty)
+    assert(FeatureVectors.parseLine("[1, null, 3]").isEmpty)
+    assert(FeatureVectors.parseLine("[[7], 1]").isEmpty) // list NOT at [-4]
+    assert(FeatureVectors.parseLine("[1, [7], 2, 3, 4]").toSeq.map(_.toSeq) ==
+      Seq(Seq(1.0, 2.0, 3.0, 4.0))) // list AT [-4] splices out
     val spark = SparkTestBase.spark
     val p = java.nio.file.Files.createTempDirectory("fv-").resolve("v.jsonl")
     java.nio.file.Files.writeString(p,
