@@ -54,7 +54,9 @@ object Liveness {
     dontDownloadErrCodes.map(code =>
       new Py.Guarded("^(.*\\d\\D+|\\D*)" + code + "(\\D+\\d.*|\\D*)$") -> code.toString).toArray
   private val suspendedScreen = new Py.Guarded("^.*suspended.*$")
-  private val linkbucksScreen = new Py.Guarded("^.*linkbucks\\.com - get your share!.*$")
+  // reference pattern text VERBATIM (spider.py:345) — the '.' is an
+  // unescaped metachar there, so it must stay one here
+  private val linkbucksScreen = new Py.Guarded("^.*linkbucks.com - get your share!.*$")
   private val contactScreen = new Py.Guarded("^contact support$")
   private val notFoundScreen = new Py.Guarded("^(.* |.* can|.* could|)not(hing| be|) found.*$")
   private val phishingScreen = new Py.Guarded("^(.* |.*suspected |)phishing.*$")

@@ -16,22 +16,16 @@ object UrlFeatureSets {
 
   private def domain(url: String): String = Canonicalize.extractorDomain(url)
 
-  private def isIp(url: String): Boolean =
-    Py.pyMatch("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$", domain(url))
+  // the sets share set-5's url primitives verbatim (each reference
+  // url_feature.py carries the same code) — ONE copy, in UrlFeatures
+  private def isIp(url: String): Boolean = UrlFeatures.isIpAddress(url)
 
-  private def withoutParameter(url: String): String = {
-    val q = url.indexOf('?')
-    if (q > 0) Py.sliceTo(url, q) else url
-  }
+  private def isAt(url: String): Boolean =
+    UrlFeatures.withoutParameter(url).indexOf('@') > -1
 
-  private def isAt(url: String): Boolean = withoutParameter(url).indexOf('@') > -1
+  private def isSpecial(url: String): Boolean = UrlFeatures.isSpecialWords(url)
 
-  private def isSpecial(url: String): Boolean = {
-    val wo = withoutParameter(url)
-    isAt(url) || wo.indexOf('-') > -1 || wo.indexOf('*') > -1 || wo.indexOf('|') > -1
-  }
-
-  private def dots(url: String): Int = domain(url).split("\\.", -1).length - 1
+  private def dots(url: String): Int = UrlFeatures.dots(url)
 
   private def b(v: Boolean): Double = if (v) 1.0 else 0.0
 
@@ -561,15 +555,28 @@ object HttpFeatureSets {
 
   /** `<a>` tags inside `<form>…</form>` spans (the `//form/a` xpath
     * approximation for a flat scanner). */
-  private[features] def formChildATags(html: String): Vector[Tag] = {
+  private[graft] def formChildATags(html: String): Vector[Tag] = {
     val out = Vector.newBuilder[Tag]
     var i = 0
     val lower = Py.lowerAscii(html)
+    // boundary after 'form' required: lxml's //form/a matches the exact
+    // element name, so '<formation>' must not open a pseudo form span
+    def atBoundary(idx: Int, tagLen: Int): Boolean = {
+      val b = idx + tagLen
+      b >= lower.length || lower.charAt(b) == '>' || lower.charAt(b) == '/' ||
+        lower.charAt(b) == ' ' || lower.charAt(b) == '\t' ||
+        lower.charAt(b) == '\n' || lower.charAt(b) == '\r' || lower.charAt(b) == '\f'
+    }
+    def findTag(pat: String, from: Int): Int = {
+      var k = lower.indexOf(pat, from)
+      while (k >= 0 && !atBoundary(k, pat.length)) k = lower.indexOf(pat, k + 1)
+      k
+    }
     while (i < lower.length) {
-      val open = lower.indexOf("<form", i)
+      val open = findTag("<form", i)
       if (open < 0) i = lower.length
       else {
-        val close = lower.indexOf("</form", open)
+        val close = findTag("</form", open)
         val end = if (close < 0) lower.length else close
         out ++= TagScanner.findAll(TagScanner.scan(html.substring(open, end)), "a")
         i = end + 1

@@ -349,17 +349,21 @@ object HttpFeatures {
                 case Some(m) =>
                   if (hit(formNameChars, m.group(1))) number += 1
                 case None =>
-                  // reference uses re.match here (:123) — anchored
-                  if (row.contains("getElementsByName") &&
-                      Py.pyMatchM("^.*getElementsByName\\(.([^)]*).\\).*$", row)) {
-                    val m = java.util.regex.Pattern
-                      .compile("^.*getElementsByName\\(.([^)]*).\\).*$", java.util.regex.Pattern.MULTILINE)
-                      .matcher(row)
-                    if (m.lookingAt() && hit(formNameChars, m.group(1))) number += 1
-                  } else Py.pySearchMGuarded("^.*querySelector\\(.([^)]*).\\).*$", row) match {
+                  // reference uses re.match here (:123) — anchored;
+                  // contains() is the required-literal fast reject
+                  val byName =
+                    if (row.contains("getElementsByName"))
+                      Py.pyMatchMG("^.*getElementsByName\\(.([^)]*).\\).*$", row)
+                    else None
+                  byName match {
                     case Some(m) =>
-                      if (hit(formClassOrId, m.group(1))) number += 1
-                    case None => ()
+                      if (hit(formNameChars, m.group(1))) number += 1
+                    case None =>
+                      Py.pySearchMGuarded("^.*querySelector\\(.([^)]*).\\).*$", row) match {
+                        case Some(m) =>
+                          if (hit(formClassOrId, m.group(1))) number += 1
+                        case None => ()
+                      }
                   }
               }
           }

@@ -19,7 +19,7 @@ object UrlFeatures {
   def dots(url: String): Int = // :53-55 — python split('.') keeps empties
     Canonicalize.extractorDomain(url).split("\\.", -1).length - 1
 
-  private def withoutParameter(url: String): String = { // :71-77 (quest_mark > 0!)
+  def withoutParameter(url: String): String = { // :71-77 (quest_mark > 0!)
     val q = url.indexOf('?')
     if (q > 0) Py.sliceTo(url, q) else url
   }
@@ -78,25 +78,37 @@ object HeaderFeatures {
     val headerList = Py.rstrip(headerStr).split("\n", -1)
     if (headerList.isEmpty) return ParsedHeader(None, Map.empty)
     val row0 = Py.pySplit(headerList(0), " ")
-    // reference indexes row[1] — crashes when absent; defined substitute: None
-    val status = if (row0.length > 1) row0(1).toIntOption else None
     var fields = Map.empty[String, String]
+    // headers['Status'] = row[1] (:13) — IndexErrors when absent;
+    // defined substitute: no Status key
+    if (row0.length > 1) fields += ("Status" -> row0(1))
     var tempField: String = null
     for (option <- headerList.drop(1)) {
       if (option.indexOf(": ") > -1) {
         val row = Py.pySplit(option, ": ")
         val (field, value) = (row(0), row(1)) // extra ': ' parts silently dropped (mirrored)
         tempField = field
+        // a 'Status: x' FIELD line sets temp_field but never overwrites
+        // the status-line code (:19-20)
         if (field != "Status") fields += (field -> value)
       } else if (tempField != null && fields.contains(tempField)) {
+        // continuation APPENDS to headers[temp_field] unconditionally
+        // (:22) — INCLUDING 'Status' after a 'Status: x' field line,
+        // mutating the string is_redirect later int()s. temp_field
+        // None / missing key KeyErrors in the reference; substitute:
+        // drop the line.
         fields += (tempField -> (fields(tempField) + Py.rstrip(Py.strip(option))))
       }
     }
-    ParsedHeader(status, fields)
+    // int(headers['Status']) — Python int semantics (sign + digits
+    // only); a mutated non-numeric string crashes the reference;
+    // substitute: None
+    ParsedHeader(fields.get("Status").flatMap(Py.pyIntOption), fields)
   }
 
   def isRedirect(headerStr: String): Boolean =
-    parse(headerStr).status.exists(_ / 100 == 3)
+    // Python 2 `/` on ints floors (negative statuses would differ)
+    parse(headerStr).status.exists(s => Math.floorDiv(s, 100) == 3)
 
   /** Multi-block merge ORs redirect (:51-53). */
   def extract(blocks: Seq[String]): Vector[Double] = {
@@ -264,9 +276,11 @@ object TimerFeatures {
   val size = 1
   def extract(blocks: Seq[String]): Vector[Double] = {
     if (blocks.isEmpty) return Vector(0.0)
-    // python float() strips whitespace; non-numeric crashes the
-    // reference — defined substitute: 0
-    Vector(blocks.last.trim.toDoubleOption.getOrElse(0.0))
+    // python float() semantics exactly (accepts inf/infinity/nan,
+    // rejects '5f'/'1.5d'/hex-floats that Java parseDouble takes);
+    // where Python raises ValueError the reference crashes — defined
+    // substitute: 0
+    Vector(Py.pyFloatOption(blocks.last).getOrElse(0.0))
   }
 }
 

@@ -105,11 +105,25 @@ object TagScanner {
   private def isPymSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
-  /** First index of a CDATA-terminating close tag at or after `from`:
-    * CPython html.parser's `set_cdata_mode` interesting pattern
-    * `</\s*NAME(?=[\t\n\r\f />])`, IGNORECASE. Returns the index of the
-    * `<`, or -1. A bare `</script` at end-of-input does NOT match (the
-    * lookahead needs a following char), same as the Python regex. */
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == ':' || c == '_'
+
+  /** First index of a CDATA-terminating close tag at or after `from`,
+    * mirroring PYTHON 2's HTMLParser (the interpreter the reference
+    * runs — Python 3's html.parser differs on every point below):
+    *  - the CDATA scan pattern is `</\s*NAME` with the lowered element
+    *    name as a case-SENSITIVE literal (Py2 `set_cdata_mode` compiles
+    *    it without re.I, so `</SCRIPT>` never ends a script element);
+    *  - acceptance is endtagfind `</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>`
+    *    whose lowered group must equal the element name — `</script
+    *    foo>` fails it and stays character data;
+    *  - a rejected candidate consumes data through the first `>` after
+    *    it (parse_endtag's handle_data-to-gtpos), so the scan resumes
+    *    AFTER that `>` — `</script</script>` is ALL data in Py2;
+    *  - a candidate with no following `>` leaves the rest as data
+    *    (parse_endtag returns -1, the buffer tail drains as data).
+    * Returns the index of the `<`, or -1. */
   private def findCloseTag(html: String, name: String, from: Int): Int = {
     val n = html.length
     val nl = name.length
@@ -118,13 +132,19 @@ object TagScanner {
       if (html.charAt(i) == '<' && html.charAt(i + 1) == '/') {
         var j = i + 2
         while (j < n && isPymSpace(html.charAt(j))) j += 1
-        if (html.regionMatches(true, j, name, 0, nl) && j + nl < n) {
-          val b = html.charAt(j + nl)
-          if (b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == ' ' || b == '/' || b == '>')
-            return i
-        }
-      }
-      i += 1
+        if (html.regionMatches(false, j, name, 0, nl)) {
+          val gt = html.indexOf('>', i + 2)
+          if (gt < 0) return -1
+          var k = j + nl
+          while (k < n && isNameChar(html.charAt(k))) k += 1
+          var m = k
+          while (m < n && isPymSpace(html.charAt(m))) m += 1
+          // name run must end exactly at the literal (a longer run is a
+          // different element name), then optional ws, then '>'
+          if (k == j + nl && m < n && html.charAt(m) == '>') return i
+          i = gt + 1 // rejected: data through gtpos, resume after it
+        } else i += 1
+      } else i += 1
     }
     -1
   }

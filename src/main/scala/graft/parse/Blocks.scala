@@ -71,13 +71,16 @@ object Blocks {
           classTypeIsSummary = true
         }
       } else if (kind == 2) {
-        if (entries == 1 && classType != null) {
-          if (!classTypeIsSummary) {
+        if (entries == 1) {
+          if (classType != null && !classTypeIsSummary) {
             val key = Py.lowerAscii(classType)
             blocks(key) = blocks.getOrElse(key, Vector.empty) :+ temp.result()
           }
-          // reference: append + `entries -= 1`; summary case crashes there —
-          // substitute: drop content, still close the depth.
+          // reference: append + `entries -= 1`; the summary case (and a
+          // FIRST-begin summary, where class_type is still the initial
+          // list) crashes there on `class_type.lower()` — substitute:
+          // drop content, still close the depth, so later blocks
+          // survive either position of the summary block.
           temp.clear()
           entries -= 1
         }
@@ -141,8 +144,8 @@ object Blocks {
           classTypeIsSummary = true
         }
       } else if (kind == 2) {
-        if (entries == 1 && classType != null) {
-          if (!classTypeIsSummary) {
+        if (entries == 1) {
+          if (classType != null && !classTypeIsSummary) {
             val key = Py.lowerAscii(classType)
             blocks(key) = blocks.getOrElse(key, Vector.empty) :+ temp.toString
           }

@@ -3,18 +3,21 @@ package graft.parse
 import java.nio.charset.{Charset, CodingErrorAction}
 import java.nio.ByteBuffer
 
-/** Charset resolution + decode ladder mirroring `_get_content`
-  * (`/root/reference/spider.py:426-497`, P4):
+/** Charset resolution + decode mirroring `_get_content`
+  * (`/root/reference/spider.py:426-450`, P4):
   *
   *  1. look for a `<meta ... charset=X>` declaration in the (ASCII-
   *     decoded) head of the body; when present and different from the
-  *     transport charset, the meta charset wins (spider.py:469-494:
+  *     transport charset, the meta charset wins (spider.py:440-449:
   *     `response.encoding` is overridden before `.text` decodes);
-  *  2. otherwise use the transport (header) charset;
-  *  3. decode attempts: declared charset strict → utf-8 with REPLACE →
-  *     declared charset with REPLACE → latin-1 (never fails), the
-  *     sandbox equivalent of Py2's `decode(..., 'replace'/'ignore')`
-  *     fallbacks (spider.py:455-467).
+  *  2. otherwise use the transport (header) charset; absent both, utf-8
+  *     (the sandbox stand-in for requests' chardet guess — the per-line
+  *     strict-utf-8 ladder further down `_get_content` sits AFTER the
+  *     `return response.text` at :450 and is dead code);
+  *  3. ONE decode with that charset, errors REPLACE — exactly requests'
+  *     `response.text` (`unicode(content, encoding, errors='replace')`);
+  *     an unknown charset name takes requests' LookupError fallback:
+  *     ascii with REPLACE.
   *
   * Pure function of (bytes, headerCharset); runs inside the extract
   * `map` — a byte-identity hot spot, kept dependency-free.
@@ -48,12 +51,19 @@ object CharsetDecode {
     * Content-Type header, when present. */
   def decode(bytes: Array[Byte], headerCharset: Option[String]): String = {
     val declared = metaCharset(bytes).orElse(headerCharset).getOrElse("utf-8")
-    val cs = charsetOf(declared).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-    tryDecode(bytes, cs, CodingErrorAction.REPORT)
-      .orElse(tryDecode(bytes, java.nio.charset.StandardCharsets.UTF_8, CodingErrorAction.REPLACE))
-      .orElse(tryDecode(bytes, cs, CodingErrorAction.REPLACE))
-      .getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+    charsetOf(declared) match {
+      case Some(cs) =>
+        // REPLACE never throws for the standard charsets; the guard
+        // covers exotic Charset implementations only
+        tryDecode(bytes, cs, CodingErrorAction.REPLACE)
+          .getOrElse(asciiReplace(bytes))
+      case None => asciiReplace(bytes) // requests' LookupError fallback
+    }
   }
+
+  private def asciiReplace(bytes: Array[Byte]): String =
+    tryDecode(bytes, java.nio.charset.StandardCharsets.US_ASCII, CodingErrorAction.REPLACE)
+      .getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
 
   /** Plain `utf-8` decode with replacement — the FTP path's
     * `r.decode('utf-8', errors='replace')` (`spider.py:158`), with NO

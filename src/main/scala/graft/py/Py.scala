@@ -48,6 +48,13 @@ object Py {
   def pyMatchM(p: String, s: String): Boolean =
     compiled(p, Pattern.MULTILINE).matcher(s).lookingAt()
 
+  /** [[pyMatchM]] returning the Matcher on success (cached compile —
+    * group-extracting hot paths must not rebuild Patterns per row). */
+  def pyMatchMG(p: String, s: String): Option[Matcher] = {
+    val m = compiled(p, Pattern.MULTILINE).matcher(s)
+    if (m.lookingAt()) Some(m) else None
+  }
+
   /** `re.search(p, s)` returning the first-match Matcher, if any. */
   def pySearch(p: String, s: String): Option[Matcher] = {
     val m = compiled(p, 0).matcher(s)
@@ -343,6 +350,41 @@ object Py {
       if (s.endsWith(".")) s += "0"
     }
     s
+  }
+
+  /** Python 2 `float(str)`: strips whitespace; accepts sign,
+    * decimal/exponent forms, and case-insensitive inf/infinity/nan —
+    * REJECTS Java-isms Double.parseDouble accepts ('5f', '1.5d',
+    * hex-float '0x1.8p1'). None where Python raises ValueError. */
+  def pyFloatOption(s: String): Option[Double] = {
+    val t = strip(s)
+    if (t.isEmpty) return None
+    val (sign, body0) = t.charAt(0) match {
+      case '+' => (1.0, t.substring(1))
+      case '-' => (-1.0, t.substring(1))
+      case _   => (1.0, t)
+    }
+    val body = lowerAscii(body0)
+    if (body == "inf" || body == "infinity") Some(sign * Double.PositiveInfinity)
+    else if (body == "nan") Some(Double.NaN)
+    else if (body.nonEmpty &&
+             body.forall(c => (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == '+' || c == '-') &&
+             pyMatch("^(\\d+\\.?\\d*|\\.\\d+)(e[+-]?\\d+)?$", body))
+      Some(sign * java.lang.Double.parseDouble(body))
+    else None
+  }
+
+  /** Python 2 `int(str)` (base 10): strips whitespace, optional sign,
+    * decimal digits only. None where Python raises ValueError (and on
+    * Int overflow — Python promotes to long there; no caller feeds
+    * >10-digit values meaningfully). */
+  def pyIntOption(s: String): Option[Int] = {
+    val t = strip(s)
+    val ok = t.nonEmpty && {
+      val d = if (t.charAt(0) == '+' || t.charAt(0) == '-') t.substring(1) else t
+      d.nonEmpty && d.forall(c => c >= '0' && c <= '9')
+    }
+    if (ok) t.toIntOption else None
   }
 
   /** UTF-8 byte length — Python 2 `len()` of a byte-`str` read from a

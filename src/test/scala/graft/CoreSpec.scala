@@ -146,6 +146,23 @@ class PyHelperSpec extends AnyFunSuite {
     assert(Py.stripUni("\u200Bx\uFEFF") == "\u200Bx\uFEFF")
   }
 
+  test("pyFloat/pyInt mirror Python2 numeric parsing") {
+    assert(Py.pyFloatOption(" 0.25 \n").contains(0.25))
+    assert(Py.pyFloatOption("1e3").contains(1000.0))
+    assert(Py.pyFloatOption(".5").contains(0.5))
+    assert(Py.pyFloatOption("5.").contains(5.0))
+    assert(Py.pyFloatOption("-INF").contains(Double.NegativeInfinity))
+    assert(Py.pyFloatOption("Infinity").contains(Double.PositiveInfinity))
+    assert(Py.pyFloatOption("nan").exists(_.isNaN))
+    for (bad <- Seq("5f", "1.5d", "0x1.8p1", "", " ", "1e", "e5", "--1", "1_000"))
+      assert(Py.pyFloatOption(bad).isEmpty, bad)
+    assert(Py.pyIntOption(" 301 ").contains(301))
+    assert(Py.pyIntOption("+3").contains(3))
+    assert(Py.pyIntOption("-3").contains(-3))
+    for (bad <- Seq("3.0", "3015x", "", "0x10", "three"))
+      assert(Py.pyIntOption(bad).isEmpty, bad)
+  }
+
   test("lowerAscii folds A-Z only (Python2 byte-str lower)") {
     assert(Py.lowerAscii("Not FOUND 404!") == "not found 404!")
     // non-ASCII cased letters untouched (utf-8 bytes have no A-Z byte)
@@ -208,6 +225,17 @@ class BlocksSpec extends AnyFunSuite {
     val text = "http://u/\n\n<=HTTP BEGIN=>\nA\n<=INNER BEGIN=>\nX\n<=INNER END=>\nB\n<=HTTP END=>\n\n<=TIMER BEGIN=>\n0.5\n\n<=TIMER END=>\n"
     val b = Blocks.split(lines(text))
     assert(b.blocks.isEmpty) // python2 golden: only 'url' key remains
+  }
+
+  test("FIRST-begin NSLOOKUPSUMMARY still closes its depth (substitute)") {
+    // class_type is still the initial value at the first END — the
+    // reference crashes on class_type.lower(); the documented
+    // substitute skips the block AND closes the depth, so later
+    // blocks survive regardless of the summary block's position
+    val text = "http://u/\n\n<=NSLOOKUPSUMMARY BEGIN=>\nsum\n<=NSLOOKUPSUMMARY END=>\n\n<=HTTP BEGIN=>\nhh\n<=HTTP END=>\n"
+    val b = Blocks.split(lines(text))
+    assert(b.blocks("http") == Vector("hh\n"))
+    assert(Blocks.splitText(text).blocks == b.blocks)
   }
 
   test("nested NSLOOKUPSUMMARY poisons enclosing block (quirk)") {

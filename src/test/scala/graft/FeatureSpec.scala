@@ -42,6 +42,32 @@ class SimpleExtractorSpec extends AnyFunSuite {
     assert(HeaderFeatures.extract(Nil) == Vector(0.0))
   }
 
+  test("header: continuation after a 'Status:' field mutates the status code") {
+    // reference: headers['Status'] = '301' (status line); 'Status: foo'
+    // sets temp_field WITHOUT overwriting; the continuation '5' appends
+    // to headers['Status'] -> int('3015')/100 != 3 -> NOT a redirect
+    val h = "HTTP/1.1 301 Moved\nStatus: foo\n5"
+    val p = HeaderFeatures.parse(h)
+    assert(p.fields("Status") == "3015")
+    assert(p.status.contains(3015))
+    assert(!HeaderFeatures.isRedirect(h))
+    // without the continuation the 301 stands
+    assert(HeaderFeatures.isRedirect("HTTP/1.1 301 Moved\nStatus: foo"))
+  }
+
+  test("timer: python float() semantics, not Java parseDouble") {
+    import graft.features.TimerFeatures
+    assert(TimerFeatures.extract(Seq("0.25\n\n")) == Vector(0.25))
+    // python float() accepts inf / Infinity case-insensitively
+    assert(TimerFeatures.extract(Seq("inf\n")) == Vector(Double.PositiveInfinity))
+    assert(TimerFeatures.extract(Seq("-Infinity\n")) == Vector(Double.NegativeInfinity))
+    // python REJECTS these; the reference would crash -> substitute 0
+    assert(TimerFeatures.extract(Seq("5f\n")) == Vector(0.0))
+    assert(TimerFeatures.extract(Seq("1.5d\n")) == Vector(0.0))
+    assert(TimerFeatures.extract(Seq("0x1.8p1\n")) == Vector(0.0))
+    assert(TimerFeatures.extract(Seq("1e3\n")) == Vector(1000.0))
+  }
+
   test("host: ipv4/ipv6 counting") {
     val s = "e.com has address 1.2.3.4\ne.com has IPv6 address ::1\nshort row\n"
     assert(HostFeatures.counts(s) == ((1, 1)))
@@ -100,6 +126,27 @@ class TagScannerSpec extends AnyFunSuite {
     assert(TagScanner.findAll(tags, "a").size == 1)
     assert(TagScanner.findAll(tags, "a").head.getOpt("href").contains("real"))
   }
+  test("CDATA close scan is Python-2 HTMLParser: case-sensitive, strict endtag") {
+    // Py2 set_cdata_mode compiles '</\s*script' WITHOUT re.I: an
+    // uppercase close never ends the element — everything through the
+    // next lowercase </script> (or EOF) stays script data
+    val up = TagScanner.scan("<script>x</SCRIPT><a href=\"h\">l</a>")
+    assert(TagScanner.findAll(up, "a").isEmpty)
+    // endtagfind needs '</\s*name\s*>': junk between name and '>' is data
+    val junk = TagScanner.scan("<script>x</script foo><a href=\"h\">l</a></script><b>")
+    assert(TagScanner.findAll(junk, "a").isEmpty)
+    assert(TagScanner.findAll(junk, "b").size == 1)
+    // whitespace forms that DO close: '</ script>' and '</script >'
+    val ws = TagScanner.scan("<script>x</ script><a href=\"h1\">" +
+      "<script>y</script ><a href=\"h2\">")
+    assert(TagScanner.findAll(ws, "a").flatMap(_.getOpt("href")) == Vector("h1", "h2"))
+    // a rejected candidate consumes data through its '>' — the second
+    // '</script' inside that span is never considered (Py2 resumes at
+    // gtpos), so the whole run stays data
+    val nested = TagScanner.scan("<script>x</script</script><a href=\"h\">")
+    assert(TagScanner.findAll(nested, "a").isEmpty)
+  }
+
   test("title text captured raw") {
     val tags = TagScanner.scan("<title> My Title </title><title>  </title>")
     assert(TagScanner.findAll(tags, "title").map(_.text) == Vector(" My Title ", "  "))
@@ -212,6 +259,19 @@ class HttpFeatureSpec extends AnyFunSuite {
     val b = "<meta http-equiv=\"refresh\" content=\"0; url=data:text/html;base64,AAAA\">\n"
     val v = HttpFeatures.extract(Seq(b), "http://e.com/\n", cfg)
     assert(v(2) == 0.0 && v(3) == 1.0)
+  }
+
+  test("formChildATags: '<formation>' does not open a form span") {
+    import graft.features.HttpFeatureSets
+    val none = HttpFeatureSets.formChildATags(
+      "<formation><a href=\"http://x/\">l</a></formation>")
+    assert(none.isEmpty)
+    val one = HttpFeatureSets.formChildATags(
+      "<form><a href=\"http://x/\">l</a></form>")
+    assert(one.size == 1)
+    val ws = HttpFeatureSets.formChildATags(
+      "<form id=a><a href=\"u\">l</a></form\n>")
+    assert(ws.size == 1)
   }
 
   test("form_in_javascript cross-type equality: non-ASCII id never matches") {
