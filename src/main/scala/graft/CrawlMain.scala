@@ -66,7 +66,13 @@ object CrawlMain {
         case "--pages" => pages = Some(value("--pages")); i += 2
         case "--seeds" => seeds = Some(value("--seeds")); i += 2
         case "--store" => store = Some(value("--store")); i += 2
-        case "--partitions" => partitions = Some(numValue("--partitions").toInt); i += 2
+        case "--partitions" =>
+          val n = numValue("--partitions")
+          // validate at the usage boundary: zero/negative or an int-
+          // overflowing count otherwise surfaces as an obscure Spark
+          // internal error long after argument parsing
+          if (n < 1 || n > Int.MaxValue) bad(s"--partitions must be in [1, ${Int.MaxValue}], got $n")
+          partitions = Some(n.toInt); i += 2
         case "--wave-period-ms" => wavePeriodMs = numValue("--wave-period-ms"); i += 2
         case "--agent" => agent = value("--agent"); i += 2
         case "--seen-filter" => seenFilter = value("--seen-filter"); i += 2

@@ -114,8 +114,13 @@ object SparkEntry {
     * evaluates `hosted` ONCE into a cached view and runs the window SQL
     * on top. DuckDB (which materializes CTE steps) keeps the original
     * full-CTE oracle text — semantics identical. */
-  private val hostedViews =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // WEAK session keys: a strongly-keyed memo would pin every stopped
+  // SparkSession (and its checkpoint blocks' lineage) for the JVM's
+  // lifetime in session-cycling processes (the bench/dev-loop pattern);
+  // temp views are session-scoped, so keying by dir alone is not enough
+  private val hostedViews = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]())
 
   /** Build (once per (session, dir)) the materialized hosted view and
     * return its dir-unique name. Keyed like the engine-root memos: a
@@ -123,8 +128,16 @@ object SparkEntry {
     * sf-dir alternation and leak the superseded checkpoint blocks;
     * dir-suffixed names + localCheckpoint make the view content
     * immutable, so later `reg` calls for other dirs cannot disturb it. */
-  private def hostedView(s: SparkSession, dir: String): String =
-    hostedViews.getOrElseUpdate((s, dir), {
+  private def hostedView(s: SparkSession, dir: String): String = {
+    val perSession = hostedViews.synchronized {
+      var m = hostedViews.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        hostedViews.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
       reg(s, dir)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val fetchName = s"fetchable_m_$tag"
@@ -144,6 +157,7 @@ object SparkEntry {
         .createOrReplaceTempView(hostName)
       hostName
     })
+  }
 
   // ----------------------------------------------------------- engine memo
 
@@ -228,8 +242,13 @@ object SparkEntry {
       java.nio.file.Files.writeString(tmp.resolve("vectors.jsonl"),
         jsonl.mkString("", "\n", "\n"))
       // S11: term file from the shared tokenize/select SQL at 0.3
+      // UTF-8 BYTE order (DuckDB's binary collation), not Java UTF-16
+      // code-unit order — they disagree for astral vs U+E000..U+FFFF
       val terms = s.sql(termSelectOnlySql(sparkTokSql, TermFileThreshold))
-        .as[String].collect().sorted.toSeq
+        .as[String].collect()
+        .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0).toSeq
       graft.tfidf.TermFile.write(tmp.resolve("tfidf2 30% term"), terms.indices, terms)
       tmp.toString
     })
@@ -272,11 +291,17 @@ object SparkEntry {
   private val tfidfMxCte =
     "mx AS (SELECT v.term, max(v.idf / m.nrm) AS mx FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term)"
 
-  /** Terms whose max tfidf ≥ `thresh` (A12 selection, term only). */
+  /** Terms whose max tfidf ≥ `thresh` (A12 selection, term only).
+    * Threshold compares MICRO-QUANTIZED values (round both engines
+    * apply identically): Spark's partial aggregation and DuckDB's
+    * stream order can associate the float sums differently, so a raw
+    * `>= thresh` at a knife-edge value (e.g. a doc of exactly 4
+    * equal-idf terms → tfidf exactly 0.5) could select a term in one
+    * engine only — the same discipline elm_title_score documents. */
   private def termSelectOnlySql(tok: String, thresh: Double): String =
     s"""${tfidfCtes(tok)},
        |$tfidfMxCte
-       |SELECT term FROM mx WHERE mx >= $thresh""".stripMargin
+       |SELECT term FROM mx WHERE round(mx * 1000000, 0) >= ${math.round(thresh * 1e6)}""".stripMargin
 
   // ----------------------------------------------------------- UDF helpers
 
@@ -403,8 +428,7 @@ object SparkEntry {
       (s, dir) => {
         val hv = hostedView(s, dir)
         val allowedUdf = udf { (host: String, url: String) =>
-          graft.frontier.Robots
-            .parse(graft.frontier.Robots.synthTxt(host))
+          graft.frontier.Robots.synthRulesCached(host)
             .isAllowed(graft.frontier.Robots.pathOf(url))
         }
         s.sql(s"SELECT seq, url, host FROM $hv")
@@ -661,7 +685,7 @@ object SparkEntry {
       (s, dir) => {
         import s.implicits._
         Fixtures.pages(s, dir, includeFtp = true)
-          .filter((p: graft.model.PageRow) => p.url.startsWith("ftp:"))
+          .filter((p: graft.model.PageRow) => p.url.regionMatches(true, 0, "ftp:", 0, 4))
           .map { p =>
             val out = CrawlWave.fetchOutcome(CrawlWave.FetchRow(
               0L, p.url, Canonicalize.crawlerDomain(p.url), 0, 0L,
@@ -698,7 +722,8 @@ object SparkEntry {
       def text(tok: String) =
         s"""${tfidfCtes(tok, idfKeepDf = true)},
            |$tfidfMxCte
-           |SELECT x.term, d.df FROM mx x JOIN df d ON x.term = d.term WHERE x.mx >= 0.5""".stripMargin
+           |SELECT x.term, d.df FROM mx x JOIN df d ON x.term = d.term
+           |WHERE round(x.mx * 1000000, 0) >= 500000""".stripMargin
       split2(text(sparkTokSql), text(duckTokSql))
     },
 
@@ -706,7 +731,7 @@ object SparkEntry {
     "vocab_hits" -> {
       def text(tok: String) =
         s"""${tfidfCtes(tok)},
-           |sel AS (SELECT v.term FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term HAVING max(v.idf / m.nrm) >= 0.5)
+           |sel AS (SELECT v.term FROM v JOIN nrm m ON v.doc_id = m.doc_id GROUP BY v.term HAVING round(max(v.idf / m.nrm) * 1000000, 0) >= 500000)
            |SELECT t.doc_id, count(*) AS vocab_hits FROM tok t JOIN sel s ON t.term = s.term GROUP BY t.doc_id""".stripMargin
       split2(text(sparkTokSql), text(duckTokSql))
     },
@@ -818,7 +843,14 @@ object SparkEntry {
     "dedup_simhash" -> Q(
       (s, dir) => {
         reg(s, dir)
-        Dedup.simhashPairs(s.table("documents"), maxHamming = 3, portable = true)
+        // token-LESS docs (empty/whitespace text) are excluded like the
+        // oracle's tn CTE: simhash gives them all-zero signatures that
+        // pair every empty doc with every other at hamming 0, which is
+        // exact-dedup's job, not a near-dup signal
+        Dedup.simhashPairs(
+          s.table("documents")
+            .where(expr("size(filter(split(text, ' '), w -> w <> '')) > 0")),
+          maxHamming = 3, portable = true)
           .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
       },
       Some(
@@ -1112,10 +1144,9 @@ object SparkEntry {
           gapSec = 1800, emitOpen = true).toDF()
       },
       // the stateful path must agree with the pure window-SQL oracle
-      Some(
-        graft.streaming.EventStream.sessionizeSqlDuck(1800)
-          .replace("SELECT user_id, cast(session_id as bigint) AS session_id, count(*) AS n_events,",
-            "SELECT user_id, count(*) AS n_events,"))),
+      // (session_id dropped via the builder's parameter — a textual
+      // replace() here went silently stale on any cosmetic SQL edit)
+      Some(graft.streaming.EventStream.sessionizeSqlDuck(1800, includeSessionId = false))),
 
     // ---------------- ELM title scoring (§2.9, deterministic seed)
     //
@@ -1157,6 +1188,12 @@ object SparkEntry {
           .withColumn("nrm", sqrt(sum(col("idf") * col("idf"))
             .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
           .where(round(col("idf") / col("nrm") * 1e6, 0) >= 500000)
+          // ONE evaluation: both voc (collected below) and act derive
+          // from act0 — uncheckpointed, the unordered float window sum
+          // re-runs per consumer, and a micro-boundary activity row
+          // flipping between runs would leave act holding a term absent
+          // from the broadcast vocIdx map (executor NoSuchElementException)
+          .localCheckpoint(true)
         // selected vocab in first-occurrence order → feature index c
         val voc = act0.select("term", "first_key").distinct()
           .orderBy("first_key").select("term").as[String].collect()

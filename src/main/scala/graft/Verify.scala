@@ -23,7 +23,9 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/fatal must ABORT, not cascade into a
+        // run of misleading per-query failures on a corrupted runtime
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

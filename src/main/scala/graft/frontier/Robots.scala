@@ -167,6 +167,16 @@ object Robots {
 
   // ------------------------------------------------------- fixture synth
 
+  /** Memoized [[parse]] of the SYNTHESIZED per-host robots.txt — the
+    * fixture rules are pure functions of the host, and a frontier-sized
+    * UDF otherwise re-runs the full line parser once per ROW instead of
+    * once per distinct host. Bounded by the fixture host space (a real
+    * deployment joins the robots rules TABLE instead — rulesTable). */
+  private val synthRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Rules]()
+  def synthRulesCached(host: String): Rules =
+    synthRulesCache.computeIfAbsent(host, h => parse(synthTxt(h)))
+
   /** Deterministic robots.txt for a fixture host (no external data; same
     * crawl-delay formula as [[Politeness.delayMs]] / `Synth.delayMsSql`
     * so the DuckDB oracles agree). Hosts with `length % 3 == 0`

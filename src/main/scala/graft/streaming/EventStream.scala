@@ -133,7 +133,7 @@ object EventStream {
     * oracle shape): a new session starts when the gap to the previous
     * event of the same user exceeds `gapSec`; session_id = running sum
     * of session starts. */
-  def sessionizeSqlSpark(gapSec: Long): String =
+  def sessionizeSqlSpark(gapSec: Long, includeSessionId: Boolean = true): String =
     s"""WITH l AS (
        |  SELECT user_id, event_id, value, ts, unix_timestamp(ts) AS es,
        |         lag(unix_timestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -141,14 +141,14 @@ object EventStream {
        |m AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > $gapSec THEN 1 ELSE 0 END AS is_new FROM l),
        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
-       |SELECT user_id, session_id, count(*) AS n_events,
+       |SELECT user_id,${if (includeSessionId) " session_id," else ""} count(*) AS n_events,
        |  min(es) AS session_start_epoch, max(es) AS session_end_epoch,
        |  cast(round(sum(value) * 1000000, 0) as bigint) AS total_value_micro
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
   /** Same computation in the DuckDB dialect (epoch() is fractional —
     * floored to whole seconds to match Spark's unix_timestamp). */
-  def sessionizeSqlDuck(gapSec: Long): String =
+  def sessionizeSqlDuck(gapSec: Long, includeSessionId: Boolean = true): String =
     s"""WITH l AS (
        |  SELECT user_id, event_id, value, ts, cast(floor(epoch(ts)) as bigint) AS es,
        |         lag(cast(floor(epoch(ts)) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -156,7 +156,7 @@ object EventStream {
        |m AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > $gapSec THEN 1 ELSE 0 END AS is_new FROM l),
        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
-       |SELECT user_id, cast(session_id as bigint) AS session_id, count(*) AS n_events,
+       |SELECT user_id,${if (includeSessionId) " cast(session_id as bigint) AS session_id," else ""} count(*) AS n_events,
        |  min(es) AS session_start_epoch, max(es) AS session_end_epoch,
        |  cast(round(sum(value) * 1000000, 0) as bigint) AS total_value_micro
        |FROM s GROUP BY user_id, session_id""".stripMargin
