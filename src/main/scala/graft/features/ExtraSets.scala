@@ -435,7 +435,7 @@ object HttpFeatureSets {
 
   private def set3State(block: String): Set3State = {
     val rawRows = block.split("\n", -1) // the block's only line split
-    val (_, stripedRows) = HttpFeatures.stripedFromRows(rawRows)
+    val stripedRows = HttpFeatures.stripedRows(rawRows)
     // _get_script_block_rows ignores its striped argument and walks the
     // RAW html_str (:65,72); total_rows counts the striped lines (:26)
     Set3State(block, calTagBlock(rawRows, "script"), stripedRows.length,

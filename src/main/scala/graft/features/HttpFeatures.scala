@@ -87,6 +87,14 @@ object HttpFeatures {
     * only removes TRAILING whitespace, and every surviving row is
     * per-row rstripped below anyway). */
   private[features] def stripedFromRows(raw: Array[String]): (String, Array[String]) = {
+    val rows = stripedRows(raw)
+    (rows.mkString("\n"), rows)
+  }
+
+  /** The rows of [[stripedFromRows]] without materializing the joined
+    * string — the hot path only needs the rows (and their summed byte
+    * length, which [[buildState]] derives per-row). */
+  private[features] def stripedRows(raw: Array[String]): Array[String] = {
     var k = raw.length - 1
     while (k >= 0 && { var j = 0; val r = raw(k)
       while (j < r.length && Py.isByteWs(r.charAt(j))) j += 1
@@ -106,8 +114,7 @@ object HttpFeatures {
       } else kept += r
       i += 1
     }
-    val rows = kept.result()
-    (rows.mkString("\n"), rows)
+    kept.result()
   }
 
   /** `__cal_tag_block_rows` (:169-184). Quirks mirrored: a tag at column
@@ -170,7 +177,12 @@ object HttpFeatures {
 
   def buildState(htmlStr: String): State = {
     val rawRows = htmlStr.split("\n", -1) // the block's ONLY line split
-    val (striped, stripedRows) = stripedFromRows(rawRows)
+    val stripedRows = HttpFeatures.stripedRows(rawRows)
+    // byteLen(rows.mkString("\n")) without building the joined string:
+    // per-row UTF-8 bytes + one byte per joining newline
+    var stripedBytes = if (stripedRows.length == 0) 0 else stripedRows.length - 1
+    var si = 0
+    while (si < stripedRows.length) { stripedBytes += Py.byteLen(stripedRows(si)); si += 1 }
     val tags = TagScanner.scan(htmlStr)
     // one pass over the tag list instead of nine findAll filters; each
     // bucket keeps document order (iframe/frame stay segregated to
@@ -206,7 +218,7 @@ object HttpFeatures {
       styleBlockRows = calTagBlockRows(stripedRows, "style"),
       scriptBlockRows = calTagBlockRows(stripedRows, "script"),
       totalRows = stripedRows.length,
-      bytes = Py.byteLen(striped),
+      bytes = stripedBytes,
       titles = titleB.result(),
       scriptBlock = calTagBlock(rawRows, "script"))
   }

@@ -104,14 +104,14 @@ object CrawlWave {
 
   /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
-      err: String, text: String, features: Seq[Double], render_match: Boolean)
+      err: String, text: String, features: Array[Double], render_match: Boolean)
 
   /** [[Outcome]] + the url hash the seen-set guard keys on + the body's
     * extracted outlinks (internal to the prefetched-fetch cache; both
     * stripped before any table write — links feed the next generation's
     * discovery, empty unless `cfg.discover`). */
   final case class OutcomeK(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
-      err: String, text: String, features: Seq[Double], render_match: Boolean, url_hash: Long,
+      err: String, text: String, features: Array[Double], render_match: Boolean, url_hash: Long,
       links: Seq[String])
 
   final case class FetchRow(seq: Long, url: String, host: String, wave: Int, url_hash: Long,
@@ -259,7 +259,7 @@ object CrawlWave {
         .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
       val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
       OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-        features.toSeq, render_match = r.text_hash.contains(hashText(text)),
+        features.toArray, render_match = r.text_hash.contains(hashText(text)),
         r.url_hash, Nil)
     case Some(bytes) =>
       // sandbox S5: per-row deterministic net info. The page BODY is
@@ -286,7 +286,7 @@ object CrawlWave {
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extractFromBlocks(data, ExtractConfig(asOf))
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-          features.toSeq, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
+          features.toArray, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
           links)
       }
   }
@@ -308,9 +308,17 @@ final class CrawlWave(
   private lazy val pagesByUrl: DataFrame = {
     // project ONCE to the fetch-join schema: the golden text column is
     // reduced to its 8-byte fingerprint so the join output (and the
-    // typed-map encoder boundary) never materializes the expected text
-    val projected = pages.select(col("url"), col("warc_ts"), col("html"),
-      textHashUdf(col("text")).as("text_hash"))
+    // typed-map encoder boundary) never materializes the expected text.
+    // A pages table that already carries `text_hash` (fingerprint
+    // computed at ingest/bucketing time — the golden text is a
+    // verification fixture, and a deployment stores its 8 bytes, not a
+    // second copy of every rendering) skips both the UDF and the scan
+    // of the text bytes; otherwise the hash is derived here.
+    val projected =
+      if (pages.columns.contains("text_hash"))
+        pages.select(col("url"), col("warc_ts"), col("html"), col("text_hash"))
+      else pages.select(col("url"), col("warc_ts"), col("html"),
+        textHashUdf(col("text")).as("text_hash"))
     if (cfg.repartitionPages) projected.repartition(cfg.partitions, col("url")).cache()
     else projected
   }

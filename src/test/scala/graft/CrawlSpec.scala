@@ -186,6 +186,27 @@ class CrawlSpec extends AnyFunSuite {
     assert(missing == 0, s"$missing seen keys missing from the final bloom blobs")
   }
 
+  test("pages with ingest-precomputed text_hash produce the identical crawl") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-prehash-").toString
+    val st = new SnapshotTable(spark, root)
+    // the fingerprint-at-ingest shape (Bench fixture dir / a deployment
+    // storing golden fingerprints, not golden text): same crawl, same
+    // render_match verdicts, byte-identical samples
+    val pages = Fixtures.pages(spark, dir).toDF
+      .withColumn("text_hash", CrawlWave.textHashUdf(col("text")))
+      .drop("text").cache()
+    new CrawlWave(spark, pages, st, cfg(4)).runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+    def samples(s: SnapshotTable) = s.readLatest("samples").get
+      .select("url", "text", "render_match").as[(String, String, Boolean)]
+      .collect().toSet
+    assert(samples(st) == samples(store))
+  }
+
   test("cuckoo seen-filter produces the identical crawl (bloom/cuckoo interchangeable)") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl-cuckoo-").toString
