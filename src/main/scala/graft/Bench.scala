@@ -126,7 +126,7 @@ object Bench {
     val pages = {
       import org.apache.spark.sql.functions.col
       val projected =
-        if (pagesIn.columns.contains("text_hash"))
+        if (pagesIn.columns.exists(_.equalsIgnoreCase("text_hash")))
           pagesIn.select(col("url"), col("warc_ts"), col("html"), col("text_hash"))
         else pagesIn.select(col("url"), col("warc_ts"), col("html"),
           CrawlWave.textHashUdf(col("text")).as("text_hash"))
@@ -259,11 +259,13 @@ object Bench {
         // materialize the goldens as fingerprints (see crawlRunOn): the
         // fixture dir halves on disk and every fork's pages read skips
         // the golden text bytes entirely
-        Fixtures.pages(spark, sfDir, seedRep).toDF()
-          .withColumn("text_hash", CrawlWave.textHashUdf(
-            org.apache.spark.sql.functions.col("text")))
-          .drop("text")
-          .write.parquet(s"$d/pages")
+        locally {
+          import org.apache.spark.sql.functions.col
+          Fixtures.pages(spark, sfDir, seedRep).toDF()
+            .select(col("url"), col("warc_ts"), col("html"),
+              CrawlWave.textHashUdf(col("text")).as("text_hash"))
+            .write.parquet(s"$d/pages")
+        }
         Fixtures.seeds(spark, sfDir, seedRep).write.parquet(s"$d/seeds")
         Some(d)
       } else None

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions.col
   * (north rule: "runs via spark-submit on a multi-executor cluster").
   *
   *   spark-submit --class graft.CrawlMain spiderspark.jar \
-  *     --pages  <parquet/iceberg path: url,warc_ts,html,text,lang> \
+  *     --pages  <parquet/iceberg path: url,warc_ts,html,text[,lang] —
+  *               or url,warc_ts,html,text_hash (goldens fingerprinted at
+  *               ingest; see CrawlWave.pagesByUrl)> \
   *     --seeds  <parquet path: seq,url[,priority]> \
   *     --store  <snapshot-store root (resume = same path)> \
   *     [--partitions N] [--wave-period-ms MS] [--discover] \

@@ -102,7 +102,11 @@ object CrawlWave {
       // Common-Crawl-style pages table, which carries no ftp rows.
       fetchFtp: Boolean = false)
 
-  /** One fetch outcome row (samples ∪ errors discriminated by `ok`). */
+  /** One fetch outcome row (samples ∪ errors discriminated by `ok`).
+    * `features` is Array[Double] for the primitive encoder (no boxing at
+    * the scratch-write boundary); note case-class equals is therefore
+    * REFERENCE equality on that field — compare via DataFrame columns,
+    * not Scala ==. */
   final case class Outcome(seq: Long, url: String, host: String, wave: Int, ok: Boolean,
       err: String, text: String, features: Array[Double], render_match: Boolean)
 
@@ -259,7 +263,7 @@ object CrawlWave {
         .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
       val features = ExtractorSet5.extract(text, ExtractConfig(asOf))
       OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-        features.toArray, render_match = r.text_hash.contains(hashText(text)),
+        features, render_match = r.text_hash.contains(hashText(text)),
         r.url_hash, Nil)
     case Some(bytes) =>
       // sandbox S5: per-row deterministic net info. The page BODY is
@@ -286,7 +290,7 @@ object CrawlWave {
           .getOrElse(graft.fixtures.Fixtures.baseEpochSeconds)
         val features = ExtractorSet5.extractFromBlocks(data, ExtractConfig(asOf))
         OutcomeK(r.seq, r.url, r.host, r.wave, ok = true, "", text,
-          features.toArray, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
+          features, render_match = r.text_hash.contains(hashText(text)), r.url_hash,
           links)
       }
   }
@@ -315,7 +319,7 @@ final class CrawlWave(
     // second copy of every rendering) skips both the UDF and the scan
     // of the text bytes; otherwise the hash is derived here.
     val projected =
-      if (pages.columns.contains("text_hash"))
+      if (pages.columns.exists(_.equalsIgnoreCase("text_hash")))
         pages.select(col("url"), col("warc_ts"), col("html"), col("text_hash"))
       else pages.select(col("url"), col("warc_ts"), col("html"),
         textHashUdf(col("text")).as("text_hash"))
