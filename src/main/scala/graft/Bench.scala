@@ -477,14 +477,28 @@ object Bench {
         }
         def gate: Int = windows.maxBy(eff)
         def other: Seq[Int] = windows.filterNot(_ == gate)
+        def costOf(w: Int): Double =
+          bestPair(w).map { case ((_, tN), (_, t4)) => (tN + t4) * 1.1 + 60 }
+            .getOrElse(300.0)
         // probe pass: one interleaved pair per candidate window, a
         // cumulative parseable line after each — wherever an external
-        // kill lands, the last line carries the best evidence so far
+        // kill lands, the last line carries the best evidence so far.
+        // The SECOND window's probe is documentation (the alt_* fields)
+        // unless it measures better than the first: skip it when the
+        // first window is still under the gate AND probing would starve
+        // the repeat pair that could clear it (observed: a deep slow
+        // regime spent its whole scaling budget on the two probes —
+        // legs 152/54/122/89 s — and the 0.708 first-window pair got no
+        // second chance while 2×~290 s of probe time went to an alt
+        // that measured 0.343)
         var runs = 0
         for (w <- windows) {
-          measurePair(w)
-          runs = 1
-          println(line(gateJson(gate, runs, other.map(altJson).mkString)))
+          if (runs == 0 || eff(windows.head) >= 0.80 ||
+              remaining > costOf(windows.head) * 2.2) {
+            measurePair(w)
+            runs = 1
+            println(line(gateJson(gate, runs, other.map(altJson).mkString)))
+          }
         }
         // repeat pass on the measured-better window while budget allows
         // (best pair wins): repeats are what make the gate metric
