@@ -43,9 +43,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (the 10^10-URL design point): the frontier, seen set and
   * results are hash/range-partitioned tables — nothing is collected to
-  * the driver except the Bloom blobs (`seenPartitions` × fixed blob
-  * size — partitions scale out, blob size stays broadcastable) and the
-  * per-wave counters. Robots rules live in a DISTRIBUTED per-host table
+  * the driver except the Bloom blobs and the per-wave counters. The
+  * broadcast filter is a CAPPED-BUDGET accelerator, not the source of
+  * truth: its total size is `seenPartitions` × blob size, and at key
+  * counts where a low-FP filter would exceed the broadcast budget
+  * (10^10 keys at 10 bits/key ≈ 12 GB) the operator runs an
+  * under-provisioned filter instead — the false-positive rate rises,
+  * which only grows the per-wave suspect set handed to the EXACT
+  * confirm; correctness never depends on the filter (no false
+  * negatives is the sole contract). The confirm itself is scan-only at
+  * any suspect cardinality: seen deltas are written part-clustered so
+  * the confirm prunes its scan to the suspects' filter partitions, and
+  * the suspect side is broadcast (shuffled fallback beyond
+  * `maxBroadcastSuspects`) — the seen table is never shuffled per wave. Robots rules live in a DISTRIBUTED per-host table
   * joined at plan time (AQE broadcasts it while small; no driver
   * collect at any host cardinality). Politeness ranks shuffle by host
   * (two-phase distributed rank under `scalableRank` — no single-task
@@ -94,6 +104,13 @@ object CrawlWave {
       // host can exceed a task; false for small frontiers, where the
       // extra plan-time jobs cost more than the skew they prevent.
       scalableRank: Boolean = false,
+      // exact-confirm join strategy bound: while a wave's bloom-suspect
+      // count stays under this, the suspect set is BROADCAST and the
+      // seen table is only scanned (part-pruned), never shuffled — the
+      // design-point regime (suspects ≈ slice × FP rate, a handful of
+      // rows). Beyond it (a saturated/under-provisioned filter), fall
+      // back to the shuffled semi-join. 4M hashes ≈ 32 MB broadcast.
+      maxBroadcastSuspects: Long = 4L << 20,
       // S8: fetch `ftp:` URLs through the FTP path (`spider.py:103-161`
       // DownloadFTPFile — NSLOOKUP/HOST/WHOIS + raw content + TIMER, no
       // HEADER/CYCLING blocks, no liveness screen, and the image-ext
@@ -664,16 +681,38 @@ final class CrawlWave(
     val nSuspects = longAt(3)
 
     // `excluded` = the slice's TRUE-seen url hashes: bloom suspects
-    // confirmed by a semi-join against the exact seen table (only
-    // cross-generation / resumed-store repeats land here); every
-    // consumer guards with a BROADCAST anti-join over the tiny set.
+    // confirmed against the exact seen table (bloom false positives +
+    // pre-seeded/resumed-store repeats land here); every consumer
+    // guards with a BROADCAST anti-join over the tiny set.
+    //
+    // At the 10^10 design point suspects occur EVERY wave (slice ×
+    // FP rate), so the confirm must not cost O(seen): the seen scan is
+    // pruned to the suspects' filter partitions (deltas are written
+    // part-clustered in doCommit — ≈ one part per file, so the isin
+    // prunes at file/row-group level across every wave's delta), and
+    // the tiny suspect side is broadcast so the seen table is only
+    // SCANNED, never shuffled. A degraded filter (suspects beyond
+    // cfg.maxBroadcastSuspects) falls back to the shuffled semi-join.
     val (nExcluded, excluded) =
       if (nSuspects == 0) (0L, null: DataFrame)
       else {
-        val ex = slice.select("url_hash")
+        val suspects = slice.select("url_hash")
           .where(mightContainUdf(col("url_hash")))
-          .join(store.read("seen", v).select("url_hash"), Seq("url_hash"), "left_semi")
-          .cache()
+        val suspectParts = suspects
+          .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"))
+          .distinct().as[Int].collect() // bounded by cfg.seenPartitions
+        val seenSide = store.read("seen", v)
+          .where(col("part").isin(suspectParts.map(Int.box): _*))
+          .select("url_hash")
+        // both orientations yield the same hash set: seen is distinct
+        // (waves are URL-disjoint and repeats are excluded before their
+        // delta is appended — CrawlSpec pins the invariant) and so is
+        // the slice (plan-time dup states)
+        val ex =
+          (if (nSuspects <= cfg.maxBroadcastSuspects)
+            seenSide.join(broadcast(suspects), Seq("url_hash"), "left_semi")
+          else suspects.join(seenSide, Seq("url_hash"), "left_semi"))
+            .cache()
         (ex.count(), ex)
       }
     def kept(df: DataFrame): DataFrame =
@@ -723,6 +762,14 @@ final class CrawlWave(
     // untouched partitions keep their blob verbatim.
     val seenDelta = kept(narrow.select("url_hash"))
       .select(pmod(col("url_hash"), lit(P.toLong)).cast("int").as("part"), col("url_hash"))
+    // the appended delta FILES are clustered by part (≈ one filter
+    // partition per file, sorted row groups for the hash-collision
+    // leftovers): the suspect-confirm above prunes its seen scan to the
+    // touched parts across every wave's delta. The (int, long) shuffle
+    // is O(slice) and rides the async commit.
+    val seenDeltaClustered = seenDelta
+      .repartition(P, col("part"))
+      .sortWithinPartitions("part")
     val bloomBits = cfg.bloomBitsPerPartition; val bloomHashes = cfg.bloomHashes
     val cuckooCap = cfg.cuckooCapacityPerPartition
 
@@ -795,10 +842,10 @@ final class CrawlWave(
         }
       val appendDf: Map[String, org.apache.spark.sql.DataFrame] =
         if (refCommit)
-          Map("seen" -> seenDelta, "metrics" -> metricsNew,
+          Map("seen" -> seenDeltaClustered, "metrics" -> metricsNew,
             "frontier_delta" -> frontierDelta)
         else
-          Map("seen" -> seenDelta, "samples" -> samplesNew,
+          Map("seen" -> seenDeltaClustered, "samples" -> samplesNew,
             "errors" -> errorsNew, "metrics" -> metricsNew,
             "frontier_delta" -> frontierDelta)
       val refs =

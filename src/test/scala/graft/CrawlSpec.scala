@@ -222,6 +222,83 @@ class CrawlSpec extends AnyFunSuite {
     assert(st.readLatest("seen").get.count() == store.readLatest("seen").get.count())
   }
 
+  test("saturated seen-filter: false positives are confirmed, never excluded") {
+    import spark.implicits._
+    // 2 partitions x 64 bits saturate after the first waves, so the
+    // bloom answers true for ~every slice row and the exact confirm
+    // (part-pruned scan + broadcast suspects) runs on EVERY later wave
+    // — the design-point regime. It must find zero true repeats: the
+    // crawl output is identical to the well-provisioned control run.
+    val root = Files.createTempDirectory("crawl-satbloom-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val c = cfg(4).copy(seenPartitions = 2, bloomBitsPerPartition = 64, bloomHashes = 2)
+    new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
+    pages.unpersist()
+    // the scenario is real only if the filter actually saturated:
+    // arbitrary absent keys must mostly answer "might contain"
+    val filters = st.readLatest("seen_bloom").get.as[(Int, Array[Byte])].collect()
+      .map { case (p, b) => p -> graft.frontier.SeenFilter.deserialize("bloom", b) }.toMap
+    val hits = (1L to 1000L).count { i =>
+      val h = i * -7046029254386353131L + 99991L
+      filters.get(java.lang.Math.floorMod(h, 2L).toInt).exists(_.mightContain(h))
+    }
+    assert(hits > 500, s"filter not saturated: $hits/1000 probe positives")
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+    def samples(s: SnapshotTable) = s.readLatest("samples").get
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(samples(st) == samples(store))
+    assert(st.readLatest("seen").get.count() == store.readLatest("seen").get.count())
+  }
+
+  test("pre-seeded seen store: repeats confirmed + excluded under both confirm strategies") {
+    import spark.implicits._
+    // a store whose seen table already holds some planned URLs (a
+    // recrawl policy / externally merged history): those rows must end
+    // skipped_seen with no sample, under BOTH the broadcast confirm
+    // (default) and the shuffled fallback (maxBroadcastSuspects = 0)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val pre = frontier.where(col("state") === "done")
+      .select("url", "url_hash").orderBy("url").limit(5)
+      .as[(String, Long)].collect()
+    assert(pre.length == 5)
+    val preUrls = pre.map(_._1).toSet
+    def runPreSeeded(c: CrawlWave.Config): SnapshotTable = {
+      val root = Files.createTempDirectory("crawl-preseen-").toString
+      val st = new SnapshotTable(spark, root)
+      val v1 = new CrawlWave(spark, pages, st, c).init(Fixtures.seeds(spark, dir))
+      val delta = pre.toSeq.map { case (_, h) =>
+        (java.lang.Math.floorMod(h, c.seenPartitions.toLong).toInt, h) }
+      val blobs = delta.groupBy(_._1).toSeq.map { case (p, ks) =>
+        val f = graft.frontier.SeenFilter.fresh(c.seenFilter,
+          c.bloomBitsPerPartition, c.bloomHashes, c.cuckooCapacityPerPartition)
+        ks.foreach(k => f.put(k._2)); (p, f.serialize)
+      }
+      st.commit(
+        replace = Map("seen_bloom" -> spark.createDataset(blobs).toDF("part", "blob")),
+        append = Map("seen" -> spark.createDataset(delta).toDF("part", "url_hash")),
+        metrics = st.metricsOf(v1), // carry the plan cursor forward
+        expectedParent = Some(v1))
+      new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
+      st
+    }
+    for (c <- Seq(cfg(4), cfg(4).copy(maxBroadcastSuspects = 0L))) {
+      val st = runPreSeeded(c)
+      val skipped = st.readLatest("frontier").get
+        .where(col("state") === "skipped_seen").select("url").as[String].collect().toSet
+      assert(skipped == preUrls)
+      val crawled = st.readLatest("samples").get.select("url").as[String].collect().toSet
+      val ctrl = store.readLatest("samples").get.select("url").as[String].collect().toSet
+      assert(crawled == ctrl -- preUrls)
+      val seen = st.readLatest("seen").get
+      assert(seen.count() == seen.select("url_hash").distinct().count())
+      assert(seen.count() == store.readLatest("seen").get.count())
+    }
+    pages.unpersist()
+  }
+
   // ------------------------------------------------- two-phase host rank
 
   test("two-phase host rank equals the window rank on a skewed frontier, any parallelism") {
