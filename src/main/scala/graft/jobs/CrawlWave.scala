@@ -602,10 +602,14 @@ final class CrawlWave(
     val st = planned.agg(max("wave")).head
     val newMax = if (st.isNullAt(0)) planMaxWave
       else math.max(planMaxWave, st.getInt(0))
+    // the new generation is APPENDED as a frontier delta dir — the
+    // commit costs O(discovered), not O(frontier) (a replace would
+    // rewrite the whole 10^10-row table once per generation); readers
+    // see the identical union through the manifest's dir list. The
+    // final-wave reconcile stays the single O(frontier) replace.
     val c = store.commit(
-      replace = Map("frontier" ->
-        store.read("frontier", v).unionByName(planned)),
-      append = Map("errors" -> planErrors(planned)),
+      append = Map("frontier" -> planned,
+        "errors" -> planErrors(planned)),
       metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
         "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered,
         "gen_wave0" -> (planMaxWave + 1).toLong),
