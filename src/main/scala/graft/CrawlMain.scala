@@ -15,14 +15,31 @@ import org.apache.spark.sql.functions.col
   *     --seeds  <parquet path: seq,url[,priority]> \
   *     --store  <snapshot-store root (resume = same path)> \
   *     [--partitions N] [--wave-period-ms MS] [--discover] \
-  *     [--no-robots] [--agent NAME] [--seen-filter bloom|cuckoo] \
-  *     [--scalable-rank] [--fetch-ftp] [--sync-commits]
+  *     [--max-generations N] [--no-robots] [--agent NAME] \
+  *     [--seen-filter bloom|cuckoo] [--seen-partitions N] \
+  *     [--bloom-bits-per-partition N] [--bloom-hashes K] \
+  *     [--cuckoo-capacity-per-partition N] [--scalable-rank] \
+  *     [--fetch-ftp] [--sync-commits]
   *
   * The session's master/executors come from spark-submit (no
   * `.master()` here; local runs pass `-Dspark.master=local[N]`).
   * `--partitions` should be sized for the FULL cluster (tasks/core ×
   * total cores); the same layout is reused when the job later runs on
-  * fewer executors. A rerun over an existing non-empty store RESUMES
+  * fewer executors.
+  *
+  * Seen-set sizing: the broadcast filter totals `--seen-partitions` ×
+  * blob size (bloom blob = bits/8; cuckoo blob ≈ capacity × 2.1 B), and
+  * [[graft.jobs.CrawlWave]]'s capped-budget contract means these knobs
+  * trade executor memory against exact-confirm work, never correctness:
+  * an under-provisioned filter only raises the false-positive rate and
+  * thereby the per-wave suspect set handed to the exact confirm. Size
+  * bits ≈ 10 × expected keys ÷ seen-partitions up to the broadcast
+  * budget; past it (10^10 keys at 10 bits/key ≈ 12 GB) deliberately run
+  * under-provisioned and let the part-pruned confirm absorb the FP
+  * overflow. These are FRESH-STORE knobs: a resumed store keeps the
+  * layout its blobs were written with.
+  *
+  * A rerun over an existing non-empty store RESUMES
   * from its latest committed snapshot (crash/restart safe; every wave
   * is one atomic commit). Exit summary (waves, URLs done/error,
   * throughput) is printed from manifest metadata — no extra jobs over
@@ -32,8 +49,11 @@ object CrawlMain {
 
   private val usageText =
     "usage: graft.CrawlMain --pages P --seeds S --store DIR " +
-      "[--partitions N] [--wave-period-ms MS] [--discover] [--no-robots] " +
-      "[--agent NAME] [--seen-filter bloom|cuckoo] [--scalable-rank] " +
+      "[--partitions N] [--wave-period-ms MS] [--discover] " +
+      "[--max-generations N] [--no-robots] [--agent NAME] " +
+      "[--seen-filter bloom|cuckoo] [--seen-partitions N] " +
+      "[--bloom-bits-per-partition N] [--bloom-hashes K] " +
+      "[--cuckoo-capacity-per-partition N] [--scalable-rank] " +
       "[--fetch-ftp] [--sync-commits]"
 
   /** Argument errors THROW (so [[run]] stays embeddable in tests and
@@ -47,6 +67,7 @@ object CrawlMain {
   /** The crawl run behind [[main]], reusable from tests / other drivers
     * (does not create or stop the session). */
   def run(spark: SparkSession, args: Array[String]): Summary = {
+    val defaults = CrawlWave.Config()
     var pages, seeds, store: Option[String] = None
     var partitions: Option[Int] = None
     var wavePeriodMs = 1000L
@@ -55,6 +76,11 @@ object CrawlMain {
     var pipeline = true
     var agent = "graftbot"
     var seenFilter = "bloom"
+    var seenPartitions = defaults.seenPartitions
+    var bloomBits = defaults.bloomBitsPerPartition
+    var bloomHashes = defaults.bloomHashes
+    var cuckooCapacity = defaults.cuckooCapacityPerPartition
+    var maxGenerations = defaults.maxGenerations
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= args.length) bad(s"$flag needs a value")
@@ -63,21 +89,30 @@ object CrawlMain {
     def numValue(flag: String): Long =
       try value(flag).toLong
       catch { case _: NumberFormatException => bad(s"$flag needs a number, got '${args(i + 1)}'") }
+    // validate at the usage boundary: zero/negative or an int-
+    // overflowing count otherwise surfaces as an obscure Spark
+    // internal error long after argument parsing
+    def posIntValue(flag: String): Int = {
+      val n = numValue(flag)
+      if (n < 1 || n > Int.MaxValue) bad(s"$flag must be in [1, ${Int.MaxValue}], got $n")
+      n.toInt
+    }
     while (i < args.length) {
       args(i) match {
         case "--pages" => pages = Some(value("--pages")); i += 2
         case "--seeds" => seeds = Some(value("--seeds")); i += 2
         case "--store" => store = Some(value("--store")); i += 2
-        case "--partitions" =>
-          val n = numValue("--partitions")
-          // validate at the usage boundary: zero/negative or an int-
-          // overflowing count otherwise surfaces as an obscure Spark
-          // internal error long after argument parsing
-          if (n < 1 || n > Int.MaxValue) bad(s"--partitions must be in [1, ${Int.MaxValue}], got $n")
-          partitions = Some(n.toInt); i += 2
+        case "--partitions" => partitions = Some(posIntValue("--partitions")); i += 2
         case "--wave-period-ms" => wavePeriodMs = numValue("--wave-period-ms"); i += 2
         case "--agent" => agent = value("--agent"); i += 2
         case "--seen-filter" => seenFilter = value("--seen-filter"); i += 2
+        case "--seen-partitions" => seenPartitions = posIntValue("--seen-partitions"); i += 2
+        case "--bloom-bits-per-partition" =>
+          bloomBits = posIntValue("--bloom-bits-per-partition"); i += 2
+        case "--bloom-hashes" => bloomHashes = posIntValue("--bloom-hashes"); i += 2
+        case "--cuckoo-capacity-per-partition" =>
+          cuckooCapacity = posIntValue("--cuckoo-capacity-per-partition"); i += 2
+        case "--max-generations" => maxGenerations = posIntValue("--max-generations"); i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
         case "--scalable-rank" => scalableRank = true; i += 1
@@ -106,6 +141,11 @@ object CrawlMain {
       robots = robots,
       agent = agent,
       seenFilter = seenFilter,
+      seenPartitions = seenPartitions,
+      bloomBitsPerPartition = bloomBits,
+      bloomHashes = bloomHashes,
+      cuckooCapacityPerPartition = cuckooCapacity,
+      maxGenerations = maxGenerations,
       discover = discover,
       scalableRank = scalableRank,
       fetchFtp = fetchFtp,

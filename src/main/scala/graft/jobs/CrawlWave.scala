@@ -470,10 +470,48 @@ final class CrawlWave(
         "frontier_delta" -> emptyDelta(spark)),
       metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
         "gen_wave0" -> 0L,
-        "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong)))
+        "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong))
+        ++ layoutMetrics)
     frontier.unpersist()
     releasePlanScratch()
     v
+  }
+
+  /** The seen-set LAYOUT this config would build, recorded in the init
+    * manifest (metrics are Long-valued; kind as a code). The layout is
+    * structural: blobs are keyed by `url_hash mod seen_parts` and sized
+    * by the bits/capacity knobs, so a resume under a different layout
+    * would look keys up in the wrong blob — a SILENT false negative
+    * (recrawl of done URLs), the one error the seen-set contract rules
+    * out. [[ensurePlan]] fails fast on any mismatch instead. */
+  private def layoutMetrics: Map[String, Long] = {
+    val kindCode = cfg.seenFilter match {
+      case "bloom"  => 0L
+      case "cuckoo" => 1L
+      case other    => throw new IllegalArgumentException(s"unknown seen filter: $other")
+    }
+    Map("seen_parts" -> cfg.seenPartitions.toLong, "seen_kind" -> kindCode) ++
+      (if (cfg.seenFilter == "bloom")
+        Map("bloom_bits" -> cfg.bloomBitsPerPartition.toLong,
+            "bloom_hashes" -> cfg.bloomHashes.toLong)
+      else Map("cuckoo_cap" -> cfg.cuckooCapacityPerPartition.toLong))
+  }
+
+  /** Refuse to resume a store whose recorded seen-set layout differs
+    * from `cfg` (stores predating the record skip the check). Kind and
+    * sizing mismatches would otherwise surface as an obscure merge
+    * `require` waves later — or not at all (a `seen_parts` change is
+    * byte-compatible and silently mis-routes lookups). */
+  private def checkLayout(recorded: Map[String, Long]): Unit = {
+    val want = layoutMetrics
+    val bad = for ((k, have) <- want.toSeq.sortBy(_._1); rec <- recorded.get(k); if rec != have)
+      yield s"$k: store has $rec, config wants $have"
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"seen-set layout mismatch on resume [${bad.mkString("; ")}] — the " +
+          "broadcast-filter blobs are laid out (url_hash mod seen_parts, " +
+          "per-blob sizing) by the writing config; reuse that config or " +
+          "start a fresh store")
   }
 
   /** Load (or reload after resume) the plan + wave cursor — fully from
@@ -482,6 +520,7 @@ final class CrawlWave(
     * so a crashed run's successor continues identically. */
   private def ensurePlan(v: Int): Unit = {
     if (plan != null) return
+    checkLayout(store.metricsOf(1))
     plan = store.read("frontier", v).cache()
     val m = store.metricsOf(v)
     // every commit carries max_wave + gen forward, so the LATEST

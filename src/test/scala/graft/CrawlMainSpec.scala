@@ -42,5 +42,37 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(msg("--pages", "/p", "--seeds", "/s", "--store").contains("needs a value"))
     assert(msg("--pages", "/p", "--partitions", "many").contains("needs a number"))
     assert(msg("--frobnicate").contains("unknown argument"))
+    assert(msg("--seen-partitions", "0").contains("--seen-partitions must be in"))
+    assert(msg("--bloom-bits-per-partition", "-8").contains("must be in"))
+    assert(msg("--max-generations", "4294967296").contains("must be in"))
+  }
+
+  test("seen-set sizing flags reach the engine; layout mismatch on resume fails fast") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmain-seen-").toString
+    Fixtures.pages(spark, dir).toDF.write.parquet(s"$tmp/pages")
+    Fixtures.seeds(spark, dir).write.parquet(s"$tmp/seeds")
+    val base = Array(
+      "--pages", s"$tmp/pages", "--seeds", s"$tmp/seeds",
+      "--store", s"$tmp/store", "--partitions", "4",
+      "--wave-period-ms", "600000")
+    val sized = base ++ Array(
+      "--seen-filter", "cuckoo", "--seen-partitions", "8",
+      "--cuckoo-capacity-per-partition", "1024")
+
+    // a custom layout crawls to the same outcome as the default one
+    val s1 = CrawlMain.run(spark, sized)
+    val expected = SparkEntry.queries("w_crawl_order")(spark, dir).count()
+    assert(s1.done + s1.errors == expected)
+
+    // same layout resumes; a DIFFERENT layout must refuse (blobs are
+    // keyed by url_hash mod seen_parts — a silent false-negative hazard)
+    assert(CrawlMain.run(spark, sized).resumedFrom.contains(s1.version))
+    val m1 = intercept[IllegalArgumentException](
+      CrawlMain.run(spark, sized ++ Array("--seen-partitions", "16"))).getMessage
+    assert(m1.contains("layout mismatch") && m1.contains("seen_parts"))
+    val m2 = intercept[IllegalArgumentException](
+      CrawlMain.run(spark, base)).getMessage // bloom vs the store's cuckoo
+    assert(m2.contains("layout mismatch") && m2.contains("seen_kind"))
+    Bench.deleteRecursively(tmp)
   }
 }
