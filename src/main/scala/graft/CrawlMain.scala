@@ -32,12 +32,15 @@ import org.apache.spark.sql.functions.col
   * [[graft.jobs.CrawlWave]]'s capped-budget contract means these knobs
   * trade executor memory against exact-confirm work, never correctness:
   * an under-provisioned filter only raises the false-positive rate and
-  * thereby the per-wave suspect set handed to the exact confirm. Size
-  * bits ≈ 10 × expected keys ÷ seen-partitions up to the broadcast
-  * budget; past it (10^10 keys at 10 bits/key ≈ 12 GB) deliberately run
-  * under-provisioned and let the part-pruned confirm absorb the FP
-  * overflow. These are FRESH-STORE knobs: a resumed store keeps the
-  * layout its blobs were written with.
+  * thereby the per-wave suspect set handed to the exact confirm.
+  * `--expected-keys N [--seen-budget-mb MB]` derives the layout instead
+  * of hand-computing it: bloom sizes to ~10 bits/key capped by the
+  * budget (past the cap — 10^10 keys at 10 bits/key ≈ 12 GB — it runs
+  * deliberately under-provisioned and the part-pruned confirm absorbs
+  * the FP overflow); cuckoo sizes exactly and REFUSES over budget (an
+  * over-full cuckoo degrades to an unbounded stash). These are
+  * FRESH-STORE knobs: the init manifest records the layout and a
+  * resume under a different one fails fast.
   *
   * A rerun over an existing non-empty store RESUMES
   * from its latest committed snapshot (crash/restart safe; every wave
@@ -53,7 +56,8 @@ object CrawlMain {
       "[--max-generations N] [--no-robots] [--agent NAME] " +
       "[--seen-filter bloom|cuckoo] [--seen-partitions N] " +
       "[--bloom-bits-per-partition N] [--bloom-hashes K] " +
-      "[--cuckoo-capacity-per-partition N] [--scalable-rank] " +
+      "[--cuckoo-capacity-per-partition N] " +
+      "[--expected-keys N [--seen-budget-mb MB]] [--scalable-rank] " +
       "[--fetch-ftp] [--sync-commits]"
 
   /** Argument errors THROW (so [[run]] stays embeddable in tests and
@@ -76,11 +80,10 @@ object CrawlMain {
     var pipeline = true
     var agent = "graftbot"
     var seenFilter = "bloom"
-    var seenPartitions = defaults.seenPartitions
-    var bloomBits = defaults.bloomBitsPerPartition
-    var bloomHashes = defaults.bloomHashes
-    var cuckooCapacity = defaults.cuckooCapacityPerPartition
+    var seenPartitionsOpt, bloomBitsOpt, bloomHashesOpt, cuckooCapacityOpt: Option[Int] = None
     var maxGenerations = defaults.maxGenerations
+    var expectedKeys: Option[Long] = None
+    var seenBudgetMb = 1024
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= args.length) bad(s"$flag needs a value")
@@ -106,12 +109,18 @@ object CrawlMain {
         case "--wave-period-ms" => wavePeriodMs = numValue("--wave-period-ms"); i += 2
         case "--agent" => agent = value("--agent"); i += 2
         case "--seen-filter" => seenFilter = value("--seen-filter"); i += 2
-        case "--seen-partitions" => seenPartitions = posIntValue("--seen-partitions"); i += 2
+        case "--seen-partitions" =>
+          seenPartitionsOpt = Some(posIntValue("--seen-partitions")); i += 2
         case "--bloom-bits-per-partition" =>
-          bloomBits = posIntValue("--bloom-bits-per-partition"); i += 2
-        case "--bloom-hashes" => bloomHashes = posIntValue("--bloom-hashes"); i += 2
+          bloomBitsOpt = Some(posIntValue("--bloom-bits-per-partition")); i += 2
+        case "--bloom-hashes" => bloomHashesOpt = Some(posIntValue("--bloom-hashes")); i += 2
         case "--cuckoo-capacity-per-partition" =>
-          cuckooCapacity = posIntValue("--cuckoo-capacity-per-partition"); i += 2
+          cuckooCapacityOpt = Some(posIntValue("--cuckoo-capacity-per-partition")); i += 2
+        case "--expected-keys" =>
+          val n = numValue("--expected-keys")
+          if (n < 1) bad(s"--expected-keys must be positive, got $n")
+          expectedKeys = Some(n); i += 2
+        case "--seen-budget-mb" => seenBudgetMb = posIntValue("--seen-budget-mb"); i += 2
         case "--max-generations" => maxGenerations = posIntValue("--max-generations"); i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
@@ -124,6 +133,65 @@ object CrawlMain {
     val pagesPath = pages.getOrElse(bad("--pages is required"))
     val seedsPath = seeds.getOrElse(bad("--seeds is required"))
     val storePath = store.getOrElse(bad("--store is required"))
+
+    // --expected-keys: derive the seen-set layout from the frontier's
+    // expected key count under a total broadcast budget, instead of
+    // hand-computed per-partition knobs. Bloom sizes to ~10 bits/key
+    // and DEGRADES GRACEFULLY when the budget caps it (the FP rate
+    // rises, which only grows the suspect set handed to the exact
+    // confirm — the capped-budget contract in [[graft.jobs.CrawlWave]]).
+    // Cuckoo cannot run under-provisioned (an over-full table falls
+    // back to an unbounded linear-scan stash), so an over-budget cuckoo
+    // REFUSES rather than degrades.
+    var seenPartitions = seenPartitionsOpt.getOrElse(defaults.seenPartitions)
+    var bloomBits = bloomBitsOpt.getOrElse(defaults.bloomBitsPerPartition)
+    val bloomHashes = bloomHashesOpt.getOrElse(defaults.bloomHashes)
+    var cuckooCapacity = cuckooCapacityOpt.getOrElse(defaults.cuckooCapacityPerPartition)
+    for (keys <- expectedKeys) {
+      if (seenPartitionsOpt.orElse(bloomBitsOpt).orElse(bloomHashesOpt)
+          .orElse(cuckooCapacityOpt).isDefined)
+        bad("--expected-keys derives the seen-set layout; drop the explicit " +
+          "sizing flags (--seen-partitions/--bloom-bits-per-partition/" +
+          "--bloom-hashes/--cuckoo-capacity-per-partition) or size by hand")
+      def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+      val budgetBits = seenBudgetMb.toLong * 8L * 1024 * 1024
+      seenFilter match {
+        case "bloom" =>
+          val wantBits = keys * 10L // ~0.9% FP at 5 hashes
+          val gotBits = math.min(wantBits, budgetBits)
+          val maxBlobBits = 1L << 29 // 64 MB per broadcast blob
+          val p = math.max(32L, ceilDiv(gotBits, maxBlobBits))
+          if (p > Int.MaxValue) bad(s"--expected-keys $keys needs $p seen partitions")
+          seenPartitions = p.toInt
+          bloomBits = math.max(1024L, ceilDiv(gotBits, p)).toInt
+          if (gotBits < wantBits)
+            System.err.println(s"note: seen-set budget ${seenBudgetMb} MB caps the " +
+              s"bloom filter at ${gotBits / math.max(1L, keys)} bits/key (wanted 10): " +
+              "under-provisioned regime — FP rate rises, the part-pruned exact " +
+              "confirm absorbs the extra suspects; correctness is unaffected")
+        case "cuckoo" =>
+          val maxCapPerPart = 30L << 20 // ≈64 MB table after pow2 rounding
+          val p = math.max(32L, ceilDiv(keys, maxCapPerPart))
+          if (p > Int.MaxValue) bad(s"--expected-keys $keys needs $p seen partitions")
+          seenPartitions = p.toInt
+          cuckooCapacity = ceilDiv(keys, p).toInt
+          // exact per-blob bytes: capacity/0.95/4 buckets, pow2-rounded,
+          // × 4 slots × 2 bytes (mirrors Cuckoo.apply)
+          val buckets = java.lang.Long.highestOneBit(
+            math.max(1L, math.ceil(cuckooCapacity / 0.95 / 4).toLong) * 2 - 1)
+          val totalBits = p * buckets * 4 * 2 * 8
+          if (totalBits > budgetBits)
+            bad(s"cuckoo at $keys keys needs ${totalBits / 8 >> 20} MB > budget " +
+              s"$seenBudgetMb MB and cannot run under-provisioned (an over-full " +
+              "table degrades to an unbounded stash) — raise --seen-budget-mb " +
+              "or use --seen-filter bloom, which degrades gracefully under a cap")
+        case other => bad(s"unknown seen filter: $other")
+      }
+      println(s"GRAFT_SEEN_LAYOUT kind=$seenFilter parts=$seenPartitions " +
+        (if (seenFilter == "bloom") s"bloom_bits_per_partition=$bloomBits hashes=$bloomHashes"
+         else s"cuckoo_capacity_per_partition=$cuckooCapacity") +
+        s" expected_keys=$keys budget_mb=$seenBudgetMb")
+    }
 
     val parts = partitions.getOrElse(spark.sparkContext.defaultParallelism * 3)
     // getOption can't distinguish "unset" from the 200 default on a

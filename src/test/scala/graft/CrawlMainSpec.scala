@@ -45,6 +45,39 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(msg("--seen-partitions", "0").contains("--seen-partitions must be in"))
     assert(msg("--bloom-bits-per-partition", "-8").contains("must be in"))
     assert(msg("--max-generations", "4294967296").contains("must be in"))
+    // --expected-keys derivation boundary
+    assert(msg("--expected-keys", "0").contains("must be positive"))
+    assert(msg("--pages", "/p", "--seeds", "/s", "--store", "/t",
+      "--expected-keys", "1000", "--seen-partitions", "8")
+      .contains("derives the seen-set layout"))
+    // 10^10-key cuckoo exceeds a 64 MB budget and must refuse, not degrade
+    assert(msg("--pages", "/p", "--seeds", "/s", "--store", "/t",
+      "--seen-filter", "cuckoo", "--expected-keys", "10000000000",
+      "--seen-budget-mb", "64").contains("cannot run under-provisioned"))
+  }
+
+  test("--expected-keys derives a crawlable layout; budget change refuses on resume") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmain-keys-").toString
+    Fixtures.pages(spark, dir).toDF.write.parquet(s"$tmp/pages")
+    Fixtures.seeds(spark, dir).write.parquet(s"$tmp/seeds")
+    def args(budgetMb: String) = Array(
+      "--pages", s"$tmp/pages", "--seeds", s"$tmp/seeds",
+      "--store", s"$tmp/store", "--partitions", "4",
+      "--wave-period-ms", "600000",
+      "--expected-keys", "100000000", "--seen-budget-mb", budgetMb)
+
+    // 10^8 keys at 10 b/key = 1 Gb > 16 MB budget → capped (under-
+    // provisioned bloom), still crawls to the oracled schedule count
+    val s1 = CrawlMain.run(spark, args("16"))
+    val expected = SparkEntry.queries("w_crawl_order")(spark, dir).count()
+    assert(s1.done + s1.errors == expected)
+    // same derivation resumes; a budget change re-derives the layout
+    // and must refuse against the store's recorded one
+    assert(CrawlMain.run(spark, args("16")).resumedFrom.contains(s1.version))
+    val m = intercept[IllegalArgumentException](
+      CrawlMain.run(spark, args("64"))).getMessage
+    assert(m.contains("layout mismatch"))
+    Bench.deleteRecursively(tmp)
   }
 
   test("seen-set sizing flags reach the engine; layout mismatch on resume fails fast") {
