@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.col
   *     [--max-generations N] [--no-robots] [--agent NAME] \
   *     [--seen-filter bloom|cuckoo] [--seen-partitions N] \
   *     [--bloom-bits-per-partition N] [--bloom-hashes K] \
-  *     [--cuckoo-capacity-per-partition N] [--scalable-rank] \
+  *     [--cuckoo-capacity-per-partition N] \
+  *     [--expected-keys N [--seen-budget-mb MB]] \
+  *     [--compact-seen-every K] [--scalable-rank] \
   *     [--fetch-ftp] [--sync-commits]
   *
   * The session's master/executors come from spark-submit (no
@@ -57,8 +59,8 @@ object CrawlMain {
       "[--seen-filter bloom|cuckoo] [--seen-partitions N] " +
       "[--bloom-bits-per-partition N] [--bloom-hashes K] " +
       "[--cuckoo-capacity-per-partition N] " +
-      "[--expected-keys N [--seen-budget-mb MB]] [--scalable-rank] " +
-      "[--fetch-ftp] [--sync-commits]"
+      "[--expected-keys N [--seen-budget-mb MB]] [--compact-seen-every K] " +
+      "[--scalable-rank] [--fetch-ftp] [--sync-commits]"
 
   /** Argument errors THROW (so [[run]] stays embeddable in tests and
     * other drivers); only [[main]] turns them into usage + exit 2. */
@@ -82,6 +84,7 @@ object CrawlMain {
     var seenFilter = "bloom"
     var seenPartitionsOpt, bloomBitsOpt, bloomHashesOpt, cuckooCapacityOpt: Option[Int] = None
     var maxGenerations = defaults.maxGenerations
+    var compactSeenEvery = defaults.compactSeenEvery
     var expectedKeys: Option[Long] = None
     var seenBudgetMb = 1024
     var i = 0
@@ -122,6 +125,10 @@ object CrawlMain {
           expectedKeys = Some(n); i += 2
         case "--seen-budget-mb" => seenBudgetMb = posIntValue("--seen-budget-mb"); i += 2
         case "--max-generations" => maxGenerations = posIntValue("--max-generations"); i += 2
+        case "--compact-seen-every" =>
+          val n = numValue("--compact-seen-every")
+          if (n < 0 || n > Int.MaxValue) bad(s"--compact-seen-every must be in [0, ${Int.MaxValue}], got $n")
+          compactSeenEvery = n.toInt; i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
         case "--scalable-rank" => scalableRank = true; i += 1
@@ -214,6 +221,7 @@ object CrawlMain {
       bloomHashes = bloomHashes,
       cuckooCapacityPerPartition = cuckooCapacity,
       maxGenerations = maxGenerations,
+      compactSeenEvery = compactSeenEvery,
       discover = discover,
       scalableRank = scalableRank,
       fetchFtp = fetchFtp,

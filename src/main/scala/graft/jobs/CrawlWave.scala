@@ -111,6 +111,15 @@ object CrawlWave {
       // rows). Beyond it (a saturated/under-provisioned filter), fall
       // back to the shuffled semi-join. 4M hashes ≈ 32 MB broadcast.
       maxBroadcastSuspects: Long = 4L << 20,
+      // seen-table compaction cadence: each wave appends one
+      // part-clustered delta dir, so the confirm's read-side file
+      // listing/footer cost grows O(waves). When the un-squashed tail
+      // reaches this many dirs, the commit folds tail + current delta
+      // into ONE re-clustered dir (SnapshotTable.squash — the Iceberg
+      // rewrite-data-files action): O(tail) rewrite every K waves
+      // amortizes to one extra delta per wave and bounds the dir list
+      // at O(waves / K). Rides the async commit. 0 = off.
+      compactSeenEvery: Int = 64,
       // S8: fetch `ftp:` URLs through the FTP path (`spider.py:103-161`
       // DownloadFTPFile — NSLOOKUP/HOST/WHOIS + raw content + TIMER, no
       // HEADER/CYCLING blocks, no liveness screen, and the image-ext
@@ -369,6 +378,14 @@ final class CrawlWave(
   // a stale read is SOUND (planned waves are URL-disjoint) but must be
   // un-torn, hence volatile.
   @volatile private var blobState: Array[(Int, Array[Byte])] = _
+
+  /** Seen-table dir-list cursor for compaction: `seenKeepDirs` = length
+    * of the already-compacted prefix (squash outputs + nothing else),
+    * `seenTailDirs` = raw per-wave delta dirs after it. Mutated only
+    * inside doCommit (commits are strictly ordered), read by the next
+    * doCommit and by ensurePlan on resume. */
+  @volatile private var seenKeepDirs: Int = 0
+  @volatile private var seenTailDirs: Int = 0
   // in-flight async commit (pipelineCommits mode)
   private var pending: Option[scala.concurrent.Future[Int]] = None
 
@@ -469,7 +486,7 @@ final class CrawlWave(
         "metrics" -> emptyMetrics(spark),
         "frontier_delta" -> emptyDelta(spark)),
       metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
-        "gen_wave0" -> 0L,
+        "gen_wave0" -> 0L, "seen_keep_dirs" -> 0L,
         "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong))
         ++ layoutMetrics)
     frontier.unpersist()
@@ -534,6 +551,11 @@ final class CrawlWave(
     genWave0 = m.getOrElse("gen_wave0", 0L).toInt
     // the latest manifest's wave metric IS the cursor (init wrote -1)
     nextWave = m.getOrElse("wave", -1L).toInt + 1
+    // compaction cursor: stores predating the metric read keep=0, so
+    // the first squash just compacts the whole accumulated dir list
+    seenKeepDirs = m.getOrElse("seen_keep_dirs", 0L).toInt
+    seenTailDirs = math.max(0,
+      store.tableDirs(v).getOrElse("seen", Nil).length - seenKeepDirs)
   }
 
   private def cleanup(): Unit = {
@@ -651,7 +673,8 @@ final class CrawlWave(
         "errors" -> planErrors(planned)),
       metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
         "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered,
-        "gen_wave0" -> (planMaxWave + 1).toLong),
+        "gen_wave0" -> (planMaxWave + 1).toLong,
+        "seen_keep_dirs" -> seenKeepDirs.toLong),
       expectedParent = Some(v))
     discovered.unpersist(); planned.unpersist(); releasePlanScratch()
     // swap the plan state to the new generation (its scratch dataset is
@@ -883,14 +906,33 @@ final class CrawlWave(
             .drop("d_state")
           Map("seen_bloom" -> blobsDf, "frontier" -> finalFrontier)
         }
-      val appendDf: Map[String, org.apache.spark.sql.DataFrame] =
+      // seen-table compaction: once the un-squashed tail (incl. this
+      // wave's delta) reaches the cadence, fold it into ONE
+      // re-clustered dir instead of appending dir #tail+1. Reading the
+      // tail dirs of `parent` is safe here: doCommit runs after
+      // awaitPending(), so the parent manifest is published and its
+      // data dirs are immutable.
+      val doSquash = cfg.compactSeenEvery > 0 &&
+        seenTailDirs + 1 >= cfg.compactSeenEvery
+      val seenSquash: Map[String, (Int, org.apache.spark.sql.DataFrame)] =
+        if (!doSquash) Map.empty
+        else Map("seen" -> (seenKeepDirs ->
+          store.readTail("seen", parent, seenKeepDirs)
+            .unionByName(seenDeltaClustered)
+            .repartition(P, col("part"))
+            .sortWithinPartitions("part")))
+      val appendDf: Map[String, org.apache.spark.sql.DataFrame] = {
+        val seenAppend: Map[String, org.apache.spark.sql.DataFrame] =
+          if (doSquash) Map.empty else Map("seen" -> seenDeltaClustered)
         if (refCommit)
-          Map("seen" -> seenDeltaClustered, "metrics" -> metricsNew,
+          seenAppend ++ Map("metrics" -> metricsNew,
             "frontier_delta" -> frontierDelta)
         else
-          Map("seen" -> seenDeltaClustered, "samples" -> samplesNew,
+          seenAppend ++ Map("samples" -> samplesNew,
             "errors" -> errorsNew, "metrics" -> metricsNew,
             "frontier_delta" -> frontierDelta)
+      }
+      val newKeepDirs = if (doSquash) seenKeepDirs + 1 else seenKeepDirs
       val refs =
         if (refCommit) Map(
           "samples" -> graft.store.SnapshotTable.ViewRef(
@@ -902,13 +944,17 @@ final class CrawlWave(
         replace = replaceTables,
         append = appendDf,
         appendRef = refs,
+        squash = seenSquash,
         metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
           "gen_wave0" -> genWave0.toLong,
+          "seen_keep_dirs" -> newKeepDirs.toLong,
           "errors" -> nErr, "render_mismatches" -> nMismatch,
           "max_wave" -> planMaxWave.toLong, "gen" -> generation.toLong),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
       blobState = mergedBlobs
+      if (doSquash) { seenKeepDirs = newKeepDirs; seenTailDirs = 0 }
+      else seenTailDirs += 1
       if (excluded != null) excluded.unpersist()
       c
     }

@@ -70,7 +70,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Commit a new version. `replace` tables are rewritten in full;
-    * `append` tables add a delta on top of the parent's dir list.
+    * `append` tables add a delta on top of the parent's dir list;
+    * `squash` tables COMPACT their dir-list tail: keep the first
+    * `keepDirs` dirs verbatim and replace everything after them with
+    * one new write of `df` — the caller asserts df holds exactly the
+    * tail's rows (plus any new delta it folds in). This is the Iceberg
+    * rewrite-data-files maintenance action: append-heavy tables
+    * otherwise grow one dir per commit and their read-side file
+    * listing/footer cost grows O(commits). Squash cost is O(tail), so
+    * squashing every K commits amortizes to O(one delta) per commit
+    * while bounding the dir list at O(commits / K).
     * `rowCounts` lets callers record already-known counts without a
     * re-read; missing entries are left out of the manifest rather than
     * recounted (counting a just-written multi-GB table is exactly the
@@ -79,6 +88,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       replace: Map[String, DataFrame] = Map.empty,
       append: Map[String, DataFrame] = Map.empty,
       appendRef: Map[String, ViewRef] = Map.empty,
+      squash: Map[String, (Int, DataFrame)] = Map.empty,
       metrics: Map[String, Long] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
       expectedParent: Option[Int] = None): Int = {
@@ -96,6 +106,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     (replace.keySet intersect append.keySet).foreach { t =>
       throw new IllegalArgumentException(s"table $t in both replace and append")
     }
+    (squash.keySet intersect (replace.keySet ++ append.keySet)).foreach { t =>
+      throw new IllegalArgumentException(s"table $t in squash and replace/append")
+    }
+    squash.foreach { case (t, (keep, _)) =>
+      val prior = parentTables.getOrElse(t, Nil)
+      if (keep < 0 || keep > prior.length)
+        throw new IllegalArgumentException(
+          s"squash keepDirs=$keep out of range for table $t (${prior.length} dirs)")
+      // a squash write replaces tail DIRS only; rows living in view
+      // groups would silently survive (and then duplicate if the caller
+      // folded them into df) — no engine table mixes the two today
+      if (parentNode.exists(n => viewsOfNode(n).get(t).exists(_.nonEmpty)))
+        throw new IllegalArgumentException(s"cannot squash view-bearing table $t")
+    }
     // statically-empty frames (a zero-row LocalRelation after
     // optimization — e.g. a schema-anchoring first append) cost a whole
     // Spark job each to "write": skip the write, record the schema in
@@ -105,7 +129,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
         case _ => false
       }
-    val real = (replace ++ append).filterNot { case (_, df) => staticallyEmpty(df) }
+    // squash writes are never skipped: an (unexpectedly) empty tail
+    // must still shrink the dir list, and a parquet-backed df is never
+    // a LocalRelation anyway
+    val real = (replace ++ append).filterNot { case (_, df) => staticallyEmpty(df) } ++
+      squash.map { case (t, (_, df)) => t -> df }
     // write delta data dirs (overwrite → idempotent retry); tables are
     // independent, so the writes run as CONCURRENT Spark jobs — commit
     // wall time is the slowest table, not the sum (the manifest publish
@@ -127,11 +155,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // so a table whose rows arrive exclusively via ViewRefs would
     // otherwise be unreadable
     val tables: Map[String, Seq[String]] =
-      (parentTables.keySet ++ replace.keySet ++ append.keySet ++ appendRef.keySet).map { name =>
+      (parentTables.keySet ++ replace.keySet ++ append.keySet ++ appendRef.keySet ++
+        squash.keySet).map { name =>
         val prior = parentTables.getOrElse(name, Nil)
         val dirs =
           if (replace.contains(name)) written.get(name).toSeq
           else if (append.contains(name)) prior ++ written.get(name)
+          else if (squash.contains(name)) prior.take(squash(name)._1) ++ written.get(name)
           else prior
         name -> dirs
       }.toMap
@@ -152,7 +182,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // schemas carried forward so empty-dirs tables stay readable
     val schemas: Map[String, String] =
       parentNode.map(schemasOfNode).getOrElse(Map.empty) ++
-        (replace ++ append).map { case (name, df) => name -> df.schema.toDDL }
+        (replace ++ append ++ squash.map { case (t, (_, df)) => t -> df })
+          .map { case (name, df) => name -> df.schema.toDDL }
 
     Files.createDirectories(manifestsDir)
     val tmp = manifestsDir.resolve(f".tmp-v$v%05d.json")
@@ -240,6 +271,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   def readLatest(table: String): Option[DataFrame] =
     latestVersion.map(read(table, _))
+
+  /** The rows of `table` contributed by dirs[from..] at `version` — the
+    * un-squashed tail a compaction rewrites. Synthesizes an empty frame
+    * (manifest schema) for an empty tail, like [[read]]. */
+  def readTail(table: String, version: Int, from: Int): DataFrame = {
+    val node = manifestNode(version)
+    val dirs = tableDirsOf(node).getOrElse(table,
+      throw new NoSuchElementException(s"table $table not in snapshot v$version"))
+    val tail = dirs.drop(from)
+    if (tail.nonEmpty)
+      spark.read.parquet(tail.map(d => Paths.get(root, d).toString): _*)
+    else {
+      val ddl = schemasOfNode(node).getOrElse(table,
+        throw new NoSuchElementException(s"table $table has no schema at v$version"))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
 
   def manifest(version: Int): String =
     Files.readString(manifestPath(version))

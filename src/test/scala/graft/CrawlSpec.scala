@@ -253,6 +253,32 @@ class CrawlSpec extends AnyFunSuite {
     assert(st.readLatest("seen").get.count() == store.readLatest("seen").get.count())
   }
 
+  test("seen compaction: dir list squashed, crawl output and resume identical to control") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-compact-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val c = cfg(4).copy(compactSeenEvery = 2)
+    val v = new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
+    // squash actually fired, and the dir list is strictly shorter than
+    // the uncompacted one-dir-per-wave shape
+    val waves = st.metricsOf(v).getOrElse("wave", 0L) + 1
+    assert(waves >= 3)
+    assert(st.metricsOf(v).getOrElse("seen_keep_dirs", 0L) >= 1)
+    assert(st.tableDirs(v)("seen").length < waves)
+    // identical frontier + seen content vs the uncompacted control run
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
+    assert(key(st) == key(store))
+    assert(st.readLatest("seen").get.select("part", "url_hash").as[(Int, Long)]
+      .collect().toSet ==
+      store.readLatest("seen").get.select("part", "url_hash").as[(Int, Long)]
+        .collect().toSet)
+    // resume over the compacted store: plan drained, nothing recrawled
+    assert(new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir)) == v)
+    pages.unpersist()
+  }
+
   test("pre-seeded seen store: repeats confirmed + excluded under both confirm strategies") {
     import spark.implicits._
     // a store whose seen table already holds some planned URLs (a
@@ -284,7 +310,8 @@ class CrawlSpec extends AnyFunSuite {
       new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
       st
     }
-    for (c <- Seq(cfg(4), cfg(4).copy(maxBroadcastSuspects = 0L))) {
+    for (c <- Seq(cfg(4), cfg(4).copy(maxBroadcastSuspects = 0L),
+        cfg(4).copy(compactSeenEvery = 2))) {
       val st = runPreSeeded(c)
       val skipped = st.readLatest("frontier").get
         .where(col("state") === "skipped_seen").select("url").as[String].collect().toSet

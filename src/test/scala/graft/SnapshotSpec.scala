@@ -93,6 +93,43 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("squash compacts the dir-list tail; content identical; misuse refused") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-squash-").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(append = Map("log" -> Seq(1).toDF("x")))
+    st.commit(append = Map("log" -> Seq(2, 3).toDF("x")))
+    st.commit(append = Map("log" -> Seq(4).toDF("x")))
+    assert(st.tableDirs(3)("log").length == 3)
+
+    // keep dir 0, fold dirs 1.. plus a new delta into ONE write
+    val tail = st.readTail("log", 3, 1).unionByName(Seq(5).toDF("x"))
+    val v4 = st.commit(squash = Map("log" -> (1, tail)))
+    assert(st.tableDirs(v4)("log").length == 2)
+    assert(st.read("log", v4).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // time travel unaffected: v3 still reads its own dirs
+    assert(st.read("log", 3).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // empty-tail read synthesizes from the manifest schema
+    assert(st.readTail("log", v4, 2).count() == 0)
+
+    intercept[IllegalArgumentException] { // keep out of range
+      st.commit(squash = Map("log" -> (5, Seq(9).toDF("x"))))
+    }
+    intercept[IllegalArgumentException] { // same table squash + append
+      st.commit(append = Map("log" -> Seq(9).toDF("x")),
+        squash = Map("log" -> (0, Seq(9).toDF("x"))))
+    }
+    // view-bearing tables refuse (squash replaces dirs only; view rows
+    // would survive and duplicate)
+    Seq((1, true)).toDF("id", "ok")
+      .write.parquet(java.nio.file.Paths.get(root, "scratch/sq", "wave=0").toString)
+    st.commit(appendRef = Map("viewed" -> SnapshotTable.ViewRef(
+      "scratch/sq", Seq("scratch/sq/wave=0"), "ok", Seq("id"))))
+    intercept[IllegalArgumentException] {
+      st.commit(squash = Map("viewed" -> (0, Seq(1).toDF("id"))))
+    }
+  }
+
   test("crash mid-commit leaves no visible version; retry overwrites orphan data") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
