@@ -111,14 +111,15 @@ object CrawlWave {
       // rows). Beyond it (a saturated/under-provisioned filter), fall
       // back to the shuffled semi-join. 4M hashes ≈ 32 MB broadcast.
       maxBroadcastSuspects: Long = 4L << 20,
-      // seen-table compaction cadence: each wave appends one
-      // part-clustered delta dir, so the confirm's read-side file
-      // listing/footer cost grows O(waves). When the un-squashed tail
-      // reaches this many dirs, the commit folds tail + current delta
-      // into ONE re-clustered dir (SnapshotTable.squash — the Iceberg
-      // rewrite-data-files action): O(tail) rewrite every K waves
-      // amortizes to one extra delta per wave and bounds the dir list
-      // at O(waves / K). Rides the async commit. 0 = off.
+      // per-wave-append-table compaction cadence: each wave appends one
+      // delta dir to `seen` (part-clustered), `frontier_delta` and
+      // `metrics`, so their read-side file listing/footer cost grows
+      // O(waves). When the un-squashed tail reaches this many dirs, the
+      // commit folds each table's tail + current delta into ONE dir
+      // (SnapshotTable.squash — the Iceberg rewrite-data-files action;
+      // seen stays re-clustered by part): O(tail) rewrite every K waves
+      // amortizes to one extra delta per wave and bounds the dir lists
+      // at O(waves / K + K). Rides the async commit. 0 = off.
       compactSeenEvery: Int = 64,
       // S8: fetch `ftp:` URLs through the FTP path (`spider.py:103-161`
       // DownloadFTPFile — NSLOOKUP/HOST/WHOIS + raw content + TIMER, no
@@ -379,11 +380,14 @@ final class CrawlWave(
   // un-torn, hence volatile.
   @volatile private var blobState: Array[(Int, Array[Byte])] = _
 
-  /** Seen-table dir-list cursor for compaction: `seenKeepDirs` = length
-    * of the already-compacted prefix (squash outputs + nothing else),
-    * `seenTailDirs` = raw per-wave delta dirs after it. Mutated only
-    * inside doCommit (commits are strictly ordered), read by the next
-    * doCommit and by ensurePlan on resume. */
+  /** Compaction cursor for the per-wave append tables (seen,
+    * frontier_delta, metrics — all squashed on one shared round
+    * counter): `seenKeepDirs` = completed squash rounds = length of
+    * each table's already-compacted prefix (its squash outputs and
+    * nothing else), `seenTailDirs` = raw seen delta dirs after it (the
+    * trigger measure). Mutated only inside doCommit (commits are
+    * strictly ordered), read by the next doCommit and by ensurePlan on
+    * resume. */
   @volatile private var seenKeepDirs: Int = 0
   @volatile private var seenTailDirs: Int = 0
   // in-flight async commit (pipelineCommits mode)
@@ -906,31 +910,40 @@ final class CrawlWave(
             .drop("d_state")
           Map("seen_bloom" -> blobsDf, "frontier" -> finalFrontier)
         }
-      // seen-table compaction: once the un-squashed tail (incl. this
-      // wave's delta) reaches the cadence, fold it into ONE
-      // re-clustered dir instead of appending dir #tail+1. Reading the
-      // tail dirs of `parent` is safe here: doCommit runs after
-      // awaitPending(), so the parent manifest is published and its
-      // data dirs are immutable.
+      // per-wave-append-table compaction: once the un-squashed tail
+      // (incl. this wave's delta) reaches the cadence, fold each
+      // table's tail + current delta into ONE dir instead of appending
+      // dir #tail+1. `seen` (re-clustered — the hot confirm path),
+      // `frontier_delta` (read whole at every generation reconcile)
+      // and `metrics` squash together on one shared round counter:
+      // after M squashes each table's dir list is exactly its M squash
+      // outputs plus the raw tail, so keep=M holds for all three even
+      // when a wave skipped a table's write. samples/errors stay out —
+      // their volume lives in scratch ViewRefs by design (squash
+      // refuses view-bearing tables). Reading the tails of `parent` is
+      // safe here: doCommit runs after awaitPending(), so the parent
+      // manifest is published and its data dirs are immutable.
       val doSquash = cfg.compactSeenEvery > 0 &&
         seenTailDirs + 1 >= cfg.compactSeenEvery
-      val seenSquash: Map[String, (Int, org.apache.spark.sql.DataFrame)] =
+      def tailPlus(table: String, delta: org.apache.spark.sql.DataFrame) =
+        seenKeepDirs -> store.readTail(table, parent, seenKeepDirs).unionByName(delta)
+      val squashMap: Map[String, (Int, org.apache.spark.sql.DataFrame)] =
         if (!doSquash) Map.empty
-        else Map("seen" -> (seenKeepDirs ->
-          store.readTail("seen", parent, seenKeepDirs)
-            .unionByName(seenDeltaClustered)
-            .repartition(P, col("part"))
-            .sortWithinPartitions("part")))
+        else Map(
+          "seen" -> (seenKeepDirs ->
+            store.readTail("seen", parent, seenKeepDirs)
+              .unionByName(seenDeltaClustered)
+              .repartition(P, col("part"))
+              .sortWithinPartitions("part")),
+          "frontier_delta" -> tailPlus("frontier_delta", frontierDelta),
+          "metrics" -> tailPlus("metrics", metricsNew))
       val appendDf: Map[String, org.apache.spark.sql.DataFrame] = {
-        val seenAppend: Map[String, org.apache.spark.sql.DataFrame] =
-          if (doSquash) Map.empty else Map("seen" -> seenDeltaClustered)
-        if (refCommit)
-          seenAppend ++ Map("metrics" -> metricsNew,
+        val waveAppends: Map[String, org.apache.spark.sql.DataFrame] =
+          if (doSquash) Map.empty
+          else Map("seen" -> seenDeltaClustered, "metrics" -> metricsNew,
             "frontier_delta" -> frontierDelta)
-        else
-          seenAppend ++ Map("samples" -> samplesNew,
-            "errors" -> errorsNew, "metrics" -> metricsNew,
-            "frontier_delta" -> frontierDelta)
+        if (refCommit) waveAppends
+        else waveAppends ++ Map("samples" -> samplesNew, "errors" -> errorsNew)
       }
       val newKeepDirs = if (doSquash) seenKeepDirs + 1 else seenKeepDirs
       val refs =
@@ -944,7 +957,7 @@ final class CrawlWave(
         replace = replaceTables,
         append = appendDf,
         appendRef = refs,
-        squash = seenSquash,
+        squash = squashMap,
         metrics = Map("wave" -> wave.toLong, "selected" -> nSel,
           "gen_wave0" -> genWave0.toLong,
           "seen_keep_dirs" -> newKeepDirs.toLong,

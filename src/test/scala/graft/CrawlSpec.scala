@@ -265,7 +265,9 @@ class CrawlSpec extends AnyFunSuite {
     val waves = st.metricsOf(v).getOrElse("wave", 0L) + 1
     assert(waves >= 3)
     assert(st.metricsOf(v).getOrElse("seen_keep_dirs", 0L) >= 1)
-    assert(st.tableDirs(v)("seen").length < waves)
+    // all three per-wave append tables squash on the shared cadence
+    for (t <- Seq("seen", "frontier_delta", "metrics"))
+      assert(st.tableDirs(v)(t).length < waves, s"table $t not compacted")
     // identical frontier + seen content vs the uncompacted control run
     def key(s: SnapshotTable) = s.readLatest("frontier").get
       .select("seq", "state", "wave").as[(Long, String, Int)].collect().toSet
@@ -274,6 +276,13 @@ class CrawlSpec extends AnyFunSuite {
       .collect().toSet ==
       store.readLatest("seen").get.select("part", "url_hash").as[(Int, Long)]
         .collect().toSet)
+    // squashed lineage metrics carry the identical per-wave totals
+    def waveTotals(s: SnapshotTable) = s.readLatest("metrics").get
+      .groupBy("wave").agg(sum("urls").as("u"), sum("errors").as("e"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(waveTotals(st) == waveTotals(store))
+    assert(st.readLatest("frontier_delta").get.count() ==
+      store.readLatest("frontier_delta").get.count())
     // resume over the compacted store: plan drained, nothing recrawled
     assert(new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir)) == v)
     pages.unpersist()
