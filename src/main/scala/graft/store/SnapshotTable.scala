@@ -54,19 +54,41 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def dataDir(table: String, v: Int): Path =
     Paths.get(root, "data", table, f"v$v%05d")
 
+  private def hintPath: Path = manifestsDir.resolve("version-hint.text")
+
   def latestVersion: Option[Int] = {
-    if (!Files.isDirectory(manifestsDir)) return None
-    val stream = Files.list(manifestsDir) // closed below: called once per wave
-    val vs =
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        // %05d zero-PADS but does not truncate: v100000.json has six
-        // digits, so accept 5+ or versions past 99999 silently vanish
-        .collect { case s if s.matches("v\\d{5,}\\.json") =>
-          s.substring(1, s.length - 5).toInt }
-        .toSeq
-      finally stream.close()
-    if (vs.isEmpty) None else Some(vs.max)
+    // Iceberg's HadoopTableOperations pattern: a version-hint file
+    // makes this O(1) probes instead of an O(versions) directory
+    // listing — called once per wave, and on object storage LIST is
+    // the expensive, rate-limited call. The hint may lag by one (crash
+    // between manifest publish and hint write): heal by probing
+    // forward, which also stays correct because commit() assigns
+    // contiguous versions. A missing/garbage hint falls back to the
+    // full listing.
+    val hinted: Option[Int] =
+      if (!Files.exists(hintPath)) None
+      else (try Some(Files.readString(hintPath).trim.toInt)
+            catch { case _: NumberFormatException => None })
+        .filter(v => v >= 1 && Files.exists(manifestPath(v)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (Files.exists(manifestPath(v + 1))) v += 1
+        Some(v)
+      case None =>
+        if (!Files.isDirectory(manifestsDir)) return None
+        val stream = Files.list(manifestsDir) // closed below
+        val vs =
+          try stream.iterator().asScala
+            .map(_.getFileName.toString)
+            // %05d zero-PADS but does not truncate: v100000.json has six
+            // digits, so accept 5+ or versions past 99999 silently vanish
+            .collect { case s if s.matches("v\\d{5,}\\.json") =>
+              s.substring(1, s.length - 5).toInt }
+            .toSeq
+          finally stream.close()
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   /** Commit a new version. `replace` tables are rewritten in full;
@@ -189,6 +211,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val tmp = manifestsDir.resolve(f".tmp-v$v%05d.json")
     Files.writeString(tmp, render(v, parent, tables, rowCounts, metrics, schemas, views))
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
+    // hint AFTER the publish: a crash in between leaves a hint that
+    // lags by one, which latestVersion heals by probing forward
+    val hintTmp = manifestsDir.resolve(f".tmp-hint-v$v%05d")
+    Files.writeString(hintTmp, v.toString)
+    Files.move(hintTmp, hintPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     v
   }
 

@@ -45,7 +45,31 @@ class SnapshotSpec extends AnyFunSuite {
     val manifests = java.nio.file.Paths.get(root, "manifests")
     java.nio.file.Files.copy(manifests.resolve("v00001.json"),
       manifests.resolve("v100000.json"))
+    // drop the hint: an externally-assembled GAP is only discoverable
+    // by the listing fallback (commit() itself never skips versions)
+    java.nio.file.Files.delete(manifests.resolve("version-hint.text"))
     assert(st.latestVersion.contains(100000))
+  }
+
+  test("version hint: O(1) resolution, heals a lagging hint, survives garbage") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-hint-").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")))
+    st.commit(replace = Map("t" -> Seq(2).toDF("x")))
+    val hint = java.nio.file.Paths.get(root, "manifests", "version-hint.text")
+    assert(java.nio.file.Files.readString(hint).trim == "2")
+    // crash between manifest publish and hint write → hint lags by one;
+    // the forward probe heals it (versions are contiguous by commit())
+    java.nio.file.Files.writeString(hint, "1")
+    assert(st.latestVersion.contains(2))
+    val v3 = st.commit(replace = Map("t" -> Seq(3).toDF("x")))
+    assert(v3 == 3 && java.nio.file.Files.readString(hint).trim == "3")
+    // garbage / out-of-range hints fall back to the listing
+    java.nio.file.Files.writeString(hint, "not-a-number")
+    assert(st.latestVersion.contains(3))
+    java.nio.file.Files.writeString(hint, "999")
+    assert(st.latestVersion.contains(3))
   }
 
   test("a table whose rows arrive ONLY via appendRef is readable") {
