@@ -60,7 +60,7 @@ object CrawlMain {
       "[--bloom-bits-per-partition N] [--bloom-hashes K] " +
       "[--cuckoo-capacity-per-partition N] " +
       "[--expected-keys N [--seen-budget-mb MB]] [--compact-seen-every K] " +
-      "[--scalable-rank] [--fetch-ftp] [--sync-commits]"
+      "[--expire-keep N] [--scalable-rank] [--fetch-ftp] [--sync-commits]"
 
   /** Argument errors THROW (so [[run]] stays embeddable in tests and
     * other drivers); only [[main]] turns them into usage + exit 2. */
@@ -85,6 +85,7 @@ object CrawlMain {
     var seenPartitionsOpt, bloomBitsOpt, bloomHashesOpt, cuckooCapacityOpt: Option[Int] = None
     var maxGenerations = defaults.maxGenerations
     var compactSeenEvery = defaults.compactSeenEvery
+    var expireKeep = defaults.expireKeep
     var expectedKeys: Option[Long] = None
     var seenBudgetMb = 1024
     var i = 0
@@ -129,6 +130,13 @@ object CrawlMain {
           val n = numValue("--compact-seen-every")
           if (n < 0 || n > Int.MaxValue) bad(s"--compact-seen-every must be in [0, ${Int.MaxValue}], got $n")
           compactSeenEvery = n.toInt; i += 2
+        // snapshot retention: keep the newest N versions (+ the init
+        // manifest, which anchors the resume layout guard); 0 = keep
+        // all. Runs on the compaction cadence + the final commit.
+        case "--expire-keep" =>
+          val n = numValue("--expire-keep")
+          if (n < 0 || n > Int.MaxValue) bad(s"--expire-keep must be in [0, ${Int.MaxValue}], got $n")
+          expireKeep = n.toInt; i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
         case "--scalable-rank" => scalableRank = true; i += 1
@@ -222,6 +230,7 @@ object CrawlMain {
       cuckooCapacityPerPartition = cuckooCapacity,
       maxGenerations = maxGenerations,
       compactSeenEvery = compactSeenEvery,
+      expireKeep = expireKeep,
       discover = discover,
       scalableRank = scalableRank,
       fetchFtp = fetchFtp,

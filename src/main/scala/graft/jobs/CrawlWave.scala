@@ -121,6 +121,18 @@ object CrawlWave {
       // amortizes to one extra delta per wave and bounds the dir lists
       // at O(waves / K + K). Rides the async commit. 0 = off.
       compactSeenEvery: Int = 64,
+      // snapshot retention: 0 = keep every version (full time travel;
+      // storage grows O(waves) — each wave's seen_bloom replace and
+      // each squash round leave superseded dirs on disk forever). N>0 =
+      // after each compaction round (and on the final commit) expire
+      // all but the newest N versions plus the INIT manifest v1 (whose
+      // metrics anchor the seen-set layout guard ensurePlan checks on
+      // resume), deleting manifests and the data dirs only they
+      // reference (SnapshotTable.expire — the Iceberg expire_snapshots
+      // maintenance action). Resume needs only the latest version, so
+      // any N >= 1 is resume-safe; expired versions stop being
+      // time-travel readable.
+      expireKeep: Int = 0,
       // S8: fetch `ftp:` URLs through the FTP path (`spider.py:103-161`
       // DownloadFTPFile — NSLOOKUP/HOST/WHOIS + raw content + TIMER, no
       // HEADER/CYCLING blocks, no liveness screen, and the image-ext
@@ -965,6 +977,15 @@ final class CrawlWave(
           "max_wave" -> planMaxWave.toLong, "gen" -> generation.toLong),
         rowCounts = Map("samples" -> (nSel - nErr), "errors" -> nErr),
         expectedParent = Some(parent))
+      // retention rides the same amortized cadence as compaction (plus
+      // the final commit, so short crawls still end bounded): between
+      // runs at most compactSeenEvery + expireKeep manifests exist, and
+      // post-squash superseded dirs are reclaimed one cadence later.
+      // Safe under pipelined commits: doCommit calls are strictly
+      // ordered, and everything a later wave reads (parent manifest,
+      // its tails, carried dirs) is within the kept window.
+      if (cfg.expireKeep > 0 && (doSquash || isLast))
+        store.expire(cfg.expireKeep, alwaysKeep = Set(1))
       blobState = mergedBlobs
       if (doSquash) { seenKeepDirs = newKeepDirs; seenTailDirs = 0 }
       else seenTailDirs += 1

@@ -76,19 +76,76 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         while (Files.exists(manifestPath(v + 1))) v += 1
         Some(v)
       case None =>
-        if (!Files.isDirectory(manifestsDir)) return None
-        val stream = Files.list(manifestsDir) // closed below
-        val vs =
-          try stream.iterator().asScala
-            .map(_.getFileName.toString)
-            // %05d zero-PADS but does not truncate: v100000.json has six
-            // digits, so accept 5+ or versions past 99999 silently vanish
-            .collect { case s if s.matches("v\\d{5,}\\.json") =>
-              s.substring(1, s.length - 5).toInt }
-            .toSeq
-          finally stream.close()
+        val vs = listedVersions
         if (vs.isEmpty) None else Some(vs.max)
     }
+  }
+
+  /** Full manifest-directory listing (the O(versions) maintenance-path
+    * scan; the per-wave path goes through the version hint above). */
+  private def listedVersions: Seq[Int] = {
+    if (!Files.isDirectory(manifestsDir)) return Nil
+    val stream = Files.list(manifestsDir) // closed below
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      // %05d zero-PADS but does not truncate: v100000.json has six
+      // digits, so accept 5+ or versions past 99999 silently vanish
+      .collect { case s if s.matches("v\\d{5,}\\.json") =>
+        s.substring(1, s.length - 5).toInt }
+      .toSeq
+    finally stream.close()
+  }
+
+  /** Iceberg-style `expire_snapshots`: delete every manifest except the
+    * newest `keepLast` (plus `alwaysKeep` — the crawl engine pins v1,
+    * whose metrics anchor store-lifetime metadata like the seen-set
+    * layout guard), then every data/scratch dir referenced ONLY by the
+    * expired manifests. Without this the store's storage grows O(waves)
+    * forever: every squash round and every `replace` (seen_bloom each
+    * wave) leaves its superseded dirs on disk, readable only through
+    * manifests nothing resumes from. Expired versions stop being
+    * time-travel readable — that is the point.
+    *
+    * Crash safety: doomed data dirs are deleted BEFORE their manifests,
+    * so an interrupted expire is self-healing — the still-listed
+    * expired manifests are re-expired (re-deleting a missing dir is a
+    * no-op) on the next run, and at no point does a KEPT manifest
+    * reference a deleted dir (doomed excludes everything kept
+    * manifests reference, including carried-forward append dirs and
+    * ViewRef scratch dirs). Returns (manifestsDeleted, dirsDeleted). */
+  def expire(keepLast: Int, alwaysKeep: Set[Int] = Set.empty): (Int, Int) = {
+    require(keepLast >= 1, s"expire keepLast=$keepLast must be >= 1")
+    val versions = listedVersions.sorted
+    val keep = versions.takeRight(keepLast).toSet ++ (alwaysKeep intersect versions.toSet)
+    val expired = versions.filterNot(keep)
+    if (expired.isEmpty) return (0, 0)
+    def refsOf(v: Int): Set[String] = {
+      val node = manifestNode(v)
+      tableDirsOf(node).values.flatten.toSet ++
+        viewsOfNode(node).values.flatten.flatMap(_.dirs)
+    }
+    val keptRefs = keep.flatMap(refsOf)
+    val doomed = expired.flatMap(refsOf).toSet -- keptRefs
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize
+    doomed.foreach { d =>
+      val p = Paths.get(root, d).toAbsolutePath.normalize
+      // a corrupt/hostile manifest must not walk the delete outside the
+      // store (dirs are store-relative by construction, but verify)
+      require(p.startsWith(rootAbs), s"expire: dir $d escapes store root")
+      deleteRecursively(p)
+    }
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    (expired.length, doomed.size)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally stream.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Commit a new version. `replace` tables are rewritten in full;

@@ -154,6 +154,64 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("expire deletes old manifests and the dirs only they reference") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-expire-").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(replace = Map("r" -> Seq(1).toDF("x")), append = Map("a" -> Seq(1).toDF("x")))
+    st.commit(replace = Map("r" -> Seq(2).toDF("x")), append = Map("a" -> Seq(2).toDF("x")))
+    st.commit(append = Map("a" -> Seq(3).toDF("x")))
+    st.commit(append = Map("a" -> Seq(4).toDF("x")))
+    val rv1 = java.nio.file.Paths.get(root, "data", "r", "v00001")
+    val rv2 = java.nio.file.Paths.get(root, "data", "r", "v00002")
+    assert(java.nio.file.Files.isDirectory(rv1))
+    val (m, d) = st.expire(keepLast = 2)
+    assert(m == 2 && d == 1)
+    // r's v1 write was referenced only by the expired manifests; r's v2
+    // write and ALL of a's deltas are carried forward by kept manifests
+    assert(!java.nio.file.Files.exists(rv1) && java.nio.file.Files.isDirectory(rv2))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "manifests", "v00001.json")))
+    assert(st.read("a", 4).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(st.read("r", 3).as[Int].collect().toSeq == Seq(2))
+    assert(st.latestVersion.contains(4))
+    val v5 = st.commit(append = Map("a" -> Seq(5).toDF("x")))
+    assert(v5 == 5)
+    assert(st.expire(10) == ((0, 0))) // nothing past the window: no-op
+    intercept[IllegalArgumentException] { st.expire(0) }
+  }
+
+  test("expire: alwaysKeep pins the init manifest; scratch dirs follow references") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-expire2-").toString
+    val st = new SnapshotTable(spark, root)
+    Seq((1, true)).toDF("id", "ok").write
+      .parquet(java.nio.file.Paths.get(root, "scratch/s", "wave=0").toString)
+    st.commit(append = Map("a" -> Seq(1).toDF("x")),
+      appendRef = Map("v" -> SnapshotTable.ViewRef(
+        "scratch/s", Seq("scratch/s/wave=0"), "ok", Seq("id"))),
+      metrics = Map("layout" -> 42L))
+    st.commit(append = Map("a" -> Seq(2).toDF("x")))
+    // v3 REPLACES the view-backed table (drops its views), v4 appends on
+    st.commit(replace = Map("v" -> Seq(9).toDF("id")),
+      append = Map("a" -> Seq(3).toDF("x")))
+    st.commit(append = Map("a" -> Seq(4).toDF("x")))
+    val scratch = java.nio.file.Paths.get(root, "scratch/s", "wave=0")
+    // keep {3,4} + pinned v1: only v2 expires, and the scratch dir
+    // survives because the PINNED manifest still references it
+    val (m1, _) = st.expire(2, alwaysKeep = Set(1))
+    assert(m1 == 1)
+    assert(java.nio.file.Files.exists(scratch))
+    assert(st.metricsOf(1).get("layout").contains(42L))
+    // drop the pin: v1 expires and takes the now-unreferenced scratch
+    // dir with it (kept manifests reference only the replace write)
+    val (m2, d2) = st.expire(2)
+    assert(m2 == 1 && d2 == 1)
+    assert(!java.nio.file.Files.exists(scratch))
+    assert(st.read("v", 4).as[Int].collect().toSeq == Seq(9))
+    assert(st.read("a", 4).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("crash mid-commit leaves no visible version; retry overwrites orphan data") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
