@@ -60,7 +60,8 @@ object CrawlMain {
       "[--bloom-bits-per-partition N] [--bloom-hashes K] " +
       "[--cuckoo-capacity-per-partition N] " +
       "[--expected-keys N [--seen-budget-mb MB]] [--compact-seen-every K] " +
-      "[--expire-keep N] [--scalable-rank] [--fetch-ftp] [--sync-commits]"
+      "[--expire-keep N] [--sweep-orphans-hours H] " +
+      "[--scalable-rank] [--fetch-ftp] [--sync-commits]"
 
   /** Argument errors THROW (so [[run]] stays embeddable in tests and
     * other drivers); only [[main]] turns them into usage + exit 2. */
@@ -86,6 +87,7 @@ object CrawlMain {
     var maxGenerations = defaults.maxGenerations
     var compactSeenEvery = defaults.compactSeenEvery
     var expireKeep = defaults.expireKeep
+    var sweepOrphansHours = 0L
     var expectedKeys: Option[Long] = None
     var seenBudgetMb = 1024
     var i = 0
@@ -137,6 +139,13 @@ object CrawlMain {
           val n = numValue("--expire-keep")
           if (n < 0 || n > Int.MaxValue) bad(s"--expire-keep must be in [0, ${Int.MaxValue}], got $n")
           expireKeep = n.toInt; i += 2
+        // orphan sweep at init (nothing in flight): delete data/scratch
+        // dirs no manifest references — crash leftovers — older than H
+        // hours; 0 = off. H must clear the longest conceivable wave.
+        case "--sweep-orphans-hours" =>
+          val n = numValue("--sweep-orphans-hours")
+          if (n < 0) bad(s"--sweep-orphans-hours must be >= 0, got $n")
+          sweepOrphansHours = n; i += 2
         case "--discover" => discover = true; i += 1
         case "--no-robots" => robots = false; i += 1
         case "--scalable-rank" => scalableRank = true; i += 1
@@ -218,6 +227,10 @@ object CrawlMain {
     val pagesDf = spark.read.parquet(pagesPath)
     val seedsDf = spark.read.parquet(seedsPath)
     val snap = new SnapshotTable(spark, storePath)
+    if (sweepOrphansHours > 0) {
+      val n = snap.removeOrphans(sweepOrphansHours * 3600L * 1000L)
+      if (n > 0) println(s"GRAFT_ORPHANS_SWEPT dirs=$n")
+    }
     val cw = new CrawlWave(spark, pagesDf, snap, CrawlWave.Config(
       wavePeriodMs = wavePeriodMs,
       partitions = parts,

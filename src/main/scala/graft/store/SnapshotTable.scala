@@ -119,11 +119,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val keep = versions.takeRight(keepLast).toSet ++ (alwaysKeep intersect versions.toSet)
     val expired = versions.filterNot(keep)
     if (expired.isEmpty) return (0, 0)
-    def refsOf(v: Int): Set[String] = {
-      val node = manifestNode(v)
-      tableDirsOf(node).values.flatten.toSet ++
-        viewsOfNode(node).values.flatten.flatMap(_.dirs)
-    }
     val keptRefs = keep.flatMap(refsOf)
     val doomed = expired.flatMap(refsOf).toSet -- keptRefs
     val rootAbs = Paths.get(root).toAbsolutePath.normalize
@@ -136,6 +131,47 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     (expired.length, doomed.size)
+  }
+
+  /** Every data/scratch dir `v`'s manifest references. */
+  private def refsOf(v: Int): Set[String] = {
+    val node = manifestNode(v)
+    tableDirsOf(node).values.flatten.toSet ++
+      viewsOfNode(node).values.flatten.flatMap(_.dirs)
+  }
+
+  /** Iceberg-style `remove_orphan_files`: delete data/scratch dirs that
+    * NO remaining manifest references and whose last-modified time is
+    * more than `olderThanMs` ago — crash leftovers (a commit that wrote
+    * its data dirs but died before publishing its manifest, an
+    * interrupted expire's partially-deleted tail). The age threshold
+    * protects in-flight work: a commit's dirs and a wave's prefetch
+    * scratch exist on disk BEFORE the manifest referencing them
+    * publishes, so only call this with a threshold comfortably above
+    * the longest wave (the crawl entrypoint runs it at init, when
+    * nothing is in flight). Returns the number of dirs deleted. */
+  def removeOrphans(olderThanMs: Long): Int = {
+    require(olderThanMs >= 0, s"removeOrphans olderThanMs=$olderThanMs must be >= 0")
+    val refs: Set[String] = listedVersions.flatMap(refsOf).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // candidates at the granularity manifests reference: data/<t>/vNNNNN
+    // and scratch/<name>/<dir> (e.g. wave=K)
+    def children(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally s.close()
+      }
+    val candidates =
+      children(Paths.get(root, "data")).flatMap(children) ++
+        children(Paths.get(root, "scratch")).flatMap(children)
+    val doomed = candidates.filter { p =>
+      !refs.contains(relative(p).replace("\\", "/")) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    doomed.foreach(deleteRecursively)
+    doomed.size
   }
 
   private def deleteRecursively(p: Path): Unit = {

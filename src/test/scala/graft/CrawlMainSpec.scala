@@ -32,6 +32,17 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(s2.resumedFrom.contains(s1.version))
     assert(s2.version == s1.version) // nothing left to do
     assert(s2.done == s1.done && s2.errors == s1.errors)
+
+    // --sweep-orphans-hours at init: an aged crash-leftover dir is
+    // reclaimed, the resumed store is untouched
+    import spark.implicits._
+    val orphan = java.nio.file.Paths.get(s"$tmp/store", "data", "frontier", "v99999")
+    Seq(1).toDF("x").write.parquet(orphan.toString)
+    java.nio.file.Files.setLastModifiedTime(
+      orphan, java.nio.file.attribute.FileTime.fromMillis(1L))
+    val s3 = CrawlMain.run(spark, args ++ Array("--sweep-orphans-hours", "1"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(s3.version == s1.version && s3.done == s1.done)
     Bench.deleteRecursively(tmp)
   }
 

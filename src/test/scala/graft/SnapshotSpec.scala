@@ -212,6 +212,38 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.read("a", 4).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("removeOrphans deletes only old unreferenced dirs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-orphan-").toString
+    val st = new SnapshotTable(spark, root)
+    Seq((1, true)).toDF("id", "ok").write
+      .parquet(java.nio.file.Paths.get(root, "scratch/pre", "wave=0").toString)
+    st.commit(replace = Map("t" -> Seq(1).toDF("x")),
+      appendRef = Map("v" -> SnapshotTable.ViewRef(
+        "scratch/pre", Seq("scratch/pre/wave=0"), "ok", Seq("id"))))
+    // crash leftovers: a data dir whose commit never published, and a
+    // scratch dir no manifest adopted
+    val orphanData = java.nio.file.Paths.get(root, "data", "t", "v00002")
+    val orphanScratch = java.nio.file.Paths.get(root, "scratch/pre", "wave=9")
+    Seq(7).toDF("x").write.parquet(orphanData.toString)
+    Seq((9, true)).toDF("id", "ok").write.parquet(orphanScratch.toString)
+    // too new → protected by the age threshold
+    assert(st.removeOrphans(olderThanMs = 3600L * 1000) == 0)
+    // age everything: referenced dirs must STILL survive on reference
+    val old = java.nio.file.attribute.FileTime.fromMillis(1L)
+    for (d <- Seq(orphanData, orphanScratch,
+        java.nio.file.Paths.get(root, "data", "t", "v00001"),
+        java.nio.file.Paths.get(root, "scratch/pre", "wave=0")))
+      java.nio.file.Files.setLastModifiedTime(d, old)
+    assert(st.removeOrphans(olderThanMs = 3600L * 1000) == 2)
+    assert(!java.nio.file.Files.exists(orphanData))
+    assert(!java.nio.file.Files.exists(orphanScratch))
+    assert(st.read("t", 1).as[Int].collect().toSeq == Seq(1))
+    assert(st.read("v", 1).as[Int].collect().toSeq == Seq(1))
+    // the store keeps committing into the reclaimed version slot
+    assert(st.commit(replace = Map("t" -> Seq(2).toDF("x"))) == 2)
+  }
+
   test("crash mid-commit leaves no visible version; retry overwrites orphan data") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
