@@ -593,6 +593,40 @@ class CrawlSpec extends AnyFunSuite {
     assert(st.manifest(v).nonEmpty)
   }
 
+  test("kitchen sink: every scale feature at once equals the plain discovery run") {
+    import spark.implicits._
+    // discovery + pipelined commits + compaction + expiration + cuckoo
+    // seen-filter + two-phase rank TOGETHER: the interactions (expire
+    // at each generation's reconcile, squash under pipelining, cuckoo
+    // blob rebuilds across async commits) are where independent
+    // features would break each other
+    val root = Files.createTempDirectory("crawl-sink-").toString
+    val st = new SnapshotTable(spark, root)
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val c = cfg(4).copy(discover = true, maxGenerations = 3,
+      pipelineCommits = true, compactSeenEvery = 2, expireKeep = 2,
+      seenFilter = "cuckoo", scalableRank = true)
+    val v = new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir))
+    def key(s: SnapshotTable) = s.readLatest("frontier").get
+      .select("seq", "url", "state", "wave")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(key(st) == key(discStore))
+    def samples(s: SnapshotTable) = s.readLatest("samples").get
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(samples(st) == samples(discStore))
+    assert(st.readLatest("seen").get.count() == discStore.readLatest("seen").get.count())
+    // retention fired through the discovery generations: bounded store
+    val manifests = java.nio.file.Paths.get(root, "manifests")
+    val ms = java.nio.file.Files.list(manifests)
+    val nManifests = try { import scala.jdk.CollectionConverters._
+      ms.iterator().asScala.count(_.getFileName.toString.matches("v\\d{5,}\\.json"))
+    } finally ms.close()
+    assert(nManifests <= c.expireKeep + 1, s"$nManifests manifests survive")
+    // resume over the expired+compacted cuckoo store: drained, no recrawl
+    assert(new CrawlWave(spark, pages, st, c).runAll(Fixtures.seeds(spark, dir)) == v)
+    pages.unpersist()
+  }
+
   test("discovery: resume mid-generation-1 converges to the identical final state") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl-disc-resume-").toString
