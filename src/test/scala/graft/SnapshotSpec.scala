@@ -244,6 +244,67 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.commit(replace = Map("t" -> Seq(2).toDF("x"))) == 2)
   }
 
+  test("model fuzz: random commit/squash/expire/orphan interleavings match an in-memory model") {
+    import spark.implicits._
+    // the single-op semantics are pinned above; this pins their
+    // INTERACTIONS (expire after squash, squash after expire's dir
+    // deletions, orphan sweeps between) against a trivial model:
+    // per-table content multiset + latest-version dir count
+    val root = Files.createTempDirectory("snap-fuzz-").toString
+    val st = new SnapshotTable(spark, root)
+    val rnd = new scala.util.Random(20260820L)
+    val names = Vector("alpha", "beta", "gamma")
+    val content = scala.collection.mutable.Map[String, Vector[Int]]()
+    val dirs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    var nextVal = 0
+    def fresh(n: Int) = { val v = (nextVal until nextVal + n).toVector; nextVal += n; v }
+    var latest = 0
+    def checkAll(step: Int): Unit =
+      for (t <- content.keys)
+        assert(st.read(t, latest).as[Int].collect().sorted.toVector ==
+          content(t).sorted, s"step $step table $t diverged")
+    for (step <- 1 to 36) {
+      rnd.nextInt(10) match {
+        case k if k <= 4 =>
+          val t = names(rnd.nextInt(names.size))
+          val vs = fresh(1 + rnd.nextInt(3))
+          latest = st.commit(append = Map(t -> vs.toDF("x")))
+          content(t) = content.getOrElse(t, Vector()) ++ vs; dirs(t) += 1
+        case 5 | 6 =>
+          val t = names(rnd.nextInt(names.size))
+          val vs = fresh(1 + rnd.nextInt(3))
+          latest = st.commit(replace = Map(t -> vs.toDF("x")))
+          content(t) = vs; dirs(t) = 1
+        case 7 =>
+          val cand = names.filter(dirs(_) >= 2)
+          if (cand.nonEmpty) {
+            val t = cand(rnd.nextInt(cand.size))
+            val keep = rnd.nextInt(dirs(t))
+            val delta = fresh(1)
+            val df = st.readTail(t, latest, keep).unionByName(delta.toDF("x"))
+            latest = st.commit(squash = Map(t -> (keep, df)))
+            content(t) = content(t) ++ delta; dirs(t) = keep + 1
+            checkAll(step)
+          }
+        case 8 =>
+          if (latest >= 1) {
+            st.expire(1 + rnd.nextInt(3),
+              alwaysKeep = if (rnd.nextBoolean()) Set(1) else Set.empty)
+            checkAll(step)
+          }
+        case 9 =>
+          // zero-age sweep: everything on disk is referenced by some
+          // remaining manifest, so this must change nothing readable
+          st.removeOrphans(0L)
+          checkAll(step)
+      }
+    }
+    checkAll(99)
+    // the store still commits and the hint still tracks after the storm
+    val fin = st.commit(append = Map("alpha" -> Seq(424242).toDF("x")))
+    assert(st.latestVersion.contains(fin))
+  }
+
   test("crash mid-commit leaves no visible version; retry overwrites orphan data") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap-").toString
