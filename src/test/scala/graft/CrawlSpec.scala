@@ -760,4 +760,78 @@ class CrawlSpec extends AnyFunSuite {
       .select("url", "state").as[(String, String)].collect().toMap
     assert(off("FTP://h.example.com/a") == "dropped_scheme")
   }
+
+  // ---- crash-point sweep -------------------------------------------------
+  // The single-point resume tests above pin specific interruption spots;
+  // these sweep EVERY commit boundary (and, at alternate points, a crash
+  // INSIDE the commit — data dirs written, manifest unpublished, version
+  // hint stale) under the maintenance features that rewrite store state
+  // (discovery re-plans, seen/metrics/frontier_delta compaction, snapshot
+  // expiration), asserting the resumed crawl converges to the identical
+  // final state from every one of them. This is the engine-level analogue
+  // of SnapshotSpec's store-op interleaving fuzz: the north-rule resume
+  // contract says a crash at ANY point loses nothing.
+
+  /** Config for the sweep: sync commits (deterministic crash boundaries)
+    * with discovery + compaction + expiration active. The wave period is
+    * doubled vs `cfg` — the sweep's cost is quadratic in the step count
+    * (k steps to reach crash point k, then the resume run finishes the
+    * remaining K-k), and multi-wave + multi-generation coverage survives
+    * the halving. */
+  private def sweepCfg = cfg(4).copy(wavePeriodMs = 6000L, discover = true,
+    maxGenerations = 2, compactSeenEvery = 2, expireKeep = 2)
+
+  private def crawlState(s: SnapshotTable) = {
+    import spark.implicits._
+    val frontier = s.readLatest("frontier").get
+      .select("seq", "url", "state", "wave")
+      .as[(Long, String, String, Int)].collect().toSet
+    val samples = s.readLatest("samples").get
+      .select("url", "text", "render_match")
+      .as[(String, String, Boolean)].collect().toSet
+    val seen = s.readLatest("seen").get
+      .select("url_hash").as[Long].collect().toSet
+    (frontier, samples, seen)
+  }
+
+  test("crash-point sweep: resume from every boundary (and unpublished commits) matches the control") {
+    val pages = Fixtures.pages(spark, dir).toDF.cache()
+    val seeds = Fixtures.seeds(spark, dir)
+
+    // control: uninterrupted run under the sweep config
+    val ctrlRoot = Files.createTempDirectory("crawl-sweep-ctrl-").toString
+    val ctrl = new SnapshotTable(spark, ctrlRoot)
+    new CrawlWave(spark, pages, ctrl, sweepCfg).runAll(seeds)
+    val want = crawlState(ctrl)
+
+    // total step count K (deterministic: same fixtures, same config)
+    val probeRoot = Files.createTempDirectory("crawl-sweep-probe-").toString
+    val probe = new CrawlWave(spark, pages, new SnapshotTable(spark, probeRoot), sweepCfg)
+    probe.init(seeds)
+    var totalSteps = 0
+    while (probe.step().isDefined) totalSteps += 1
+    assert(totalSteps >= 4, s"sweep needs a multi-wave crawl, got $totalSteps steps")
+
+    for (k <- 1 until totalSteps) {
+      val root = Files.createTempDirectory(s"crawl-sweep-$k-").toString
+      val st = new SnapshotTable(spark, root)
+      val cw = new CrawlWave(spark, pages, st, sweepCfg)
+      cw.init(seeds)
+      var i = 0
+      while (i < k && cw.step().isDefined) i += 1
+      // crash shape alternates: even k crashes AT the boundary (latest
+      // commit published); odd k crashes INSIDE the next commit — the
+      // newest manifest is unpublished (deleted), its data dirs remain
+      // on disk as orphans, and the version hint still names it
+      if (k % 2 == 1) {
+        val latest = st.latestVersion.get
+        if (latest > 1)
+          Files.delete(java.nio.file.Paths.get(root, "manifests", f"v$latest%05d.json"))
+      }
+      // resume: a brand-new engine over the crashed store
+      new CrawlWave(spark, pages, st, sweepCfg).runAll(seeds)
+      assert(crawlState(st) == want, s"crash point $k diverged from the control")
+    }
+    pages.unpersist()
+  }
 }
