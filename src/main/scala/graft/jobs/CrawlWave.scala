@@ -99,7 +99,7 @@ object CrawlWave {
       // plan-time per-host rank: the window form (one shuffle, but a hot
       // host is ONE task's sort) vs the two-phase distributed form
       // (Politeness.withTwoPhaseHostRank — range + join-back shuffles,
-      // every task bounded). Identical output (PolitenessSpec property).
+      // every task bounded). Identical output (CrawlSpec rank property).
       // True at the 10^10 design point, where a single Common-Crawl
       // host can exceed a task; false for small frontiers, where the
       // extra plan-time jobs cost more than the skew they prevent.
