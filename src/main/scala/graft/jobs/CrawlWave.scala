@@ -491,8 +491,27 @@ final class CrawlWave(
     val frontier = schedulePlan(initFrontier(seeds, cfg.fetchFtp), 0).cache()
     // ONE stats action over the cached plan: seed count + the plan's
     // last wave, both recorded in the manifest so the wave driver never
-    // re-aggregates the frontier (ensurePlan is zero Spark jobs)
-    val st = frontier.agg(count(lit(1)), max("wave")).head
+    // re-aggregates the frontier (ensurePlan is zero Spark jobs).
+    // seq integrity rides the same action: `seq` is the engine's row
+    // identity — the final-wave reconcile joins frontier_delta back by
+    // it, and the politeness rank breaks (priority) ties by it — so a
+    // null or duplicated seq in caller-supplied seeds would corrupt the
+    // reconcile (row multiplication) and make the crawl order
+    // nondeterministic SILENTLY. Fail fast at the one place the
+    // contract enters (fresh init; discovery seqs are constructed
+    // unique, and resumes inherit a checked frontier).
+    val st = frontier.agg(count(lit(1)), max("wave"),
+      count(col("seq")), countDistinct(col("seq"))).head
+    val n = st.getLong(0)
+    if (st.getLong(2) < n)
+      throw new IllegalArgumentException(
+        s"seeds carry ${n - st.getLong(2)} null seq values (of $n rows) — " +
+          "seq is the frontier row identity and must be non-null")
+    if (st.getLong(3) < n)
+      throw new IllegalArgumentException(
+        s"seeds carry duplicate seq values (${st.getLong(3)} distinct of $n " +
+          "rows) — seq is the frontier row identity (reconcile join key, " +
+          "politeness tie-break) and must be unique")
     val v = store.commit(
       replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
       append = Map(

@@ -761,6 +761,26 @@ class CrawlSpec extends AnyFunSuite {
     assert(off("FTP://h.example.com/a") == "dropped_scheme")
   }
 
+  test("init refuses null or duplicate seq in caller seeds (frontier row identity)") {
+    import spark.implicits._
+    val pages = Fixtures.pages(spark, dir).toDF
+    def engine() = new CrawlWave(spark, pages,
+      new SnapshotTable(spark, Files.createTempDirectory("crawl-seq-").toString), cfg(4))
+    val dup = Seq((1L, "http://a.example.com/x"), (1L, "http://b.example.com/y"))
+      .toDF("seq", "url")
+    val eDup = intercept[IllegalArgumentException](engine().init(dup))
+    assert(eDup.getMessage.contains("duplicate seq"))
+    val nul = Seq((Some(1L), "http://a.example.com/x"), (None, "http://b.example.com/y"))
+      .toDF("seq", "url")
+    val eNull = intercept[IllegalArgumentException](engine().init(nul))
+    assert(eNull.getMessage.contains("null seq"))
+    // the guard rides the existing init stats action: a well-formed seed
+    // set still initializes (and the duplicate-URL path is untouched)
+    val ok = Seq((1L, "http://a.example.com/x"), (2L, "http://a.example.com/x"))
+      .toDF("seq", "url")
+    assert(engine().init(ok) == 1)
+  }
+
   // ---- crash-point sweep -------------------------------------------------
   // The single-point resume tests above pin specific interruption spots;
   // these sweep EVERY commit boundary (and, at alternate points, a crash
