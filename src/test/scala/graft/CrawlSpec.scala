@@ -781,6 +781,95 @@ class CrawlSpec extends AnyFunSuite {
     assert(engine().init(ok) == 1)
   }
 
+  test("random-seed fuzz: an independent greedy simulator equals the engine frontier") {
+    import spark.implicits._
+    // Model-based differential test over RANDOM seed lists (deterministic
+    // seed): the model re-derives every per-seed final (state, wave) with
+    // an explicit greedy wave loop — process each host's allowed rows in
+    // (priority, seq) order, granting tokens(h) fetches per wave — and
+    // plain sequential code for the drop/dup/robots legs, then the engine
+    // must agree row-for-row. This is INDEPENDENT of the engine's
+    // window/join formulation (same reference semantics, different
+    // algorithm); the per-URL fetch outcome legs reuse the pure
+    // `fetchOutcome` (pinned byte-identical elsewhere) because the
+    // target here is ORCHESTRATION: drop/dup/deny interaction, wave
+    // assignment, miss handling on inputs the fixture space never
+    // produces (junk hosts, scheme/ext edge mixes, dup bursts).
+    val rnd = new scala.util.Random(20260820L)
+    val pagesDf = Fixtures.pages(spark, dir).toDF.cache()
+    val pageMap: Map[String, graft.model.PageRow] =
+      Fixtures.pages(spark, dir).collect().map(p => p.url -> p).toMap
+    val base = Fixtures.seeds(spark, dir).select("url").distinct().as[String].collect()
+    val wavePeriod = 3000L
+
+    def simulate(rows: Seq[(Long, String, Int)]): Map[Long, (String, Int)] = {
+      val out = scala.collection.mutable.Map[Long, (String, Int)]()
+      val seenUrls = scala.collection.mutable.Set[String]()
+      val sched = scala.collection.mutable.ArrayBuffer[(Long, String, Int, String)]()
+      for ((seq, url, pri) <- rows.sortBy(_._1)) {
+        val lower = url.toLowerCase
+        val extSkip = Seq("ico", "jpg", "png", "pdf", "bmp", "tiff").exists(lower.endsWith)
+        if (!lower.startsWith("http")) out(seq) = ("dropped_scheme", -1)
+        else if (extSkip) out(seq) = ("dropped_ext", -1)
+        else if (seenUrls.contains(url)) out(seq) = ("dup", -1)
+        else {
+          seenUrls += url
+          val host = graft.urls.Canonicalize.crawlerDomain(url)
+          val rules = graft.frontier.Robots.parse(graft.frontier.Robots.synthTxt(host))
+          if (!rules.isAllowed(graft.frontier.Robots.pathOf(url)))
+            out(seq) = ("denied_robots", -1)
+          else sched += ((seq, url, pri, host))
+        }
+      }
+      // greedy per-host wave grant
+      for ((host, hs) <- sched.groupBy(_._4)) {
+        val delay = graft.frontier.Robots.parse(graft.frontier.Robots.synthTxt(host))
+          .crawlDelayMs.getOrElse(Politeness.delayMs(host))
+        val tokens = math.max(1L, wavePeriod / math.max(1L, delay))
+        var wave = 0; var grantedThisWave = 0L
+        for ((seq, url, _, _) <- hs.sortBy(r => (r._3, r._1))) {
+          if (grantedThisWave == tokens) { wave += 1; grantedThisWave = 0 }
+          grantedThisWave += 1
+          val ok = pageMap.get(url).exists { p =>
+            CrawlWave.fetchOutcome(CrawlWave.FetchRow(seq, url, host, wave,
+              0L, Some(p.warc_ts), Some(p.html),
+              Option(p.text).map(CrawlWave.hashText))).ok
+          }
+          out(seq) = (if (ok) "done" else "error", wave)
+        }
+      }
+      out.toMap
+    }
+
+    for (trial <- 1 to 2) {
+      val n = 250
+      val rows: Seq[(Long, String, Int)] = (1 to n).map { i =>
+        val r = rnd.nextInt(10)
+        val url =
+          if (r < 6) base(rnd.nextInt(base.length))
+          else if (r == 6) s"http://fuzz${rnd.nextInt(4)}.example.net/p/${rnd.nextInt(40)}" // miss
+          else if (r == 7) s"ftp://drop${rnd.nextInt(4)}.example.net/f${rnd.nextInt(9)}"    // scheme
+          else if (r == 8) s"http://img${rnd.nextInt(4)}.example.net/i${rnd.nextInt(9)}.PNG" // ext
+          else base(rnd.nextInt(base.length)) // extra dup pressure
+        (i.toLong, url, rnd.nextInt(3))
+      }
+      val seeds = rows.toDF("seq", "url", "priority")
+      val root = Files.createTempDirectory(s"crawl-fuzz-$trial-").toString
+      val st = new SnapshotTable(spark, root)
+      new CrawlWave(spark, pagesDf, st, cfg(4)).runAll(seeds)
+      val got = st.readLatest("frontier").get
+        .select("seq", "state", "wave").as[(Long, String, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val want = simulate(rows)
+      val diff = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).toSeq.sorted
+      assert(diff.isEmpty,
+        s"trial $trial: ${diff.size} rows diverge, e.g. " +
+          diff.take(5).map(k => s"seq=$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+    }
+    pagesDf.unpersist()
+  }
+
   // ---- crash-point sweep -------------------------------------------------
   // The single-point resume tests above pin specific interruption spots;
   // these sweep EVERY commit boundary (and, at alternate points, a crash
