@@ -841,7 +841,14 @@ class CrawlSpec extends AnyFunSuite {
       out.toMap
     }
 
-    for (trial <- 1 to 2) {
+    // trial 3 runs the scale-feature config (cuckoo seen-filter,
+    // two-phase host rank, pipelined commits, compaction) — none of
+    // which may change semantics, so the same model must still agree
+    val configs = Seq(cfg(4), cfg(4),
+      cfg(4).copy(seenFilter = "cuckoo", scalableRank = true,
+        pipelineCommits = true, compactSeenEvery = 2))
+    for ((trialCfg, trial0) <- configs.zipWithIndex) {
+      val trial = trial0 + 1
       val n = 250
       val rows: Seq[(Long, String, Int)] = (1 to n).map { i =>
         val r = rnd.nextInt(10)
@@ -856,7 +863,7 @@ class CrawlSpec extends AnyFunSuite {
       val seeds = rows.toDF("seq", "url", "priority")
       val root = Files.createTempDirectory(s"crawl-fuzz-$trial-").toString
       val st = new SnapshotTable(spark, root)
-      new CrawlWave(spark, pagesDf, st, cfg(4)).runAll(seeds)
+      new CrawlWave(spark, pagesDf, st, trialCfg).runAll(seeds)
       val got = st.readLatest("frontier").get
         .select("seq", "state", "wave").as[(Long, String, Int)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
