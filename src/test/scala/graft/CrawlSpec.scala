@@ -802,14 +802,18 @@ class CrawlSpec extends AnyFunSuite {
     val base = Fixtures.seeds(spark, dir).select("url").distinct().as[String].collect()
     val wavePeriod = 3000L
 
-    def simulate(rows: Seq[(Long, String, Int)]): Map[Long, (String, Int)] = {
+    def simulate(rows: Seq[(Long, String, Int)],
+        fetchFtp: Boolean = false): Map[Long, (String, Int)] = {
       val out = scala.collection.mutable.Map[Long, (String, Int)]()
       val seenUrls = scala.collection.mutable.Set[String]()
       val sched = scala.collection.mutable.ArrayBuffer[(Long, String, Int, String)]()
       for ((seq, url, pri) <- rows.sortBy(_._1)) {
         val lower = url.toLowerCase
-        val extSkip = Seq("ico", "jpg", "png", "pdf", "bmp", "tiff").exists(lower.endsWith)
-        if (!lower.startsWith("http")) out(seq) = ("dropped_scheme", -1)
+        val isFtp = fetchFtp && lower.startsWith("ftp:")
+        // the image-ext skip is http-only (spider.py:526-535 quirk)
+        val extSkip = !isFtp &&
+          Seq("ico", "jpg", "png", "pdf", "bmp", "tiff").exists(lower.endsWith)
+        if (!lower.startsWith("http") && !isFtp) out(seq) = ("dropped_scheme", -1)
         else if (extSkip) out(seq) = ("dropped_ext", -1)
         else if (seenUrls.contains(url)) out(seq) = ("dup", -1)
         else {
@@ -843,10 +847,13 @@ class CrawlSpec extends AnyFunSuite {
 
     // trial 3 runs the scale-feature config (cuckoo seen-filter,
     // two-phase host rank, pipelined commits, compaction) — none of
-    // which may change semantics, so the same model must still agree
+    // which may change semantics, so the same model must still agree;
+    // trial 4 turns the S8 FTP branch on (ftp rows schedule and fetch,
+    // the image-ext skip stays http-only)
     val configs = Seq(cfg(4), cfg(4),
       cfg(4).copy(seenFilter = "cuckoo", scalableRank = true,
-        pipelineCommits = true, compactSeenEvery = 2))
+        pipelineCommits = true, compactSeenEvery = 2),
+      cfg(4).copy(fetchFtp = true))
     for ((trialCfg, trial0) <- configs.zipWithIndex) {
       val trial = trial0 + 1
       val n = 250
@@ -867,7 +874,7 @@ class CrawlSpec extends AnyFunSuite {
       val got = st.readLatest("frontier").get
         .select("seq", "state", "wave").as[(Long, String, Int)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
-      val want = simulate(rows)
+      val want = simulate(rows, fetchFtp = trialCfg.fetchFtp)
       val diff = (got.keySet ++ want.keySet)
         .filter(k => got.get(k) != want.get(k)).toSeq.sorted
       assert(diff.isEmpty,
