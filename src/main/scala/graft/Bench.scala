@@ -177,7 +177,7 @@ object Bench {
   // headline query subset (heaviest, most representative operators)
   private val headline = Seq(
     "w_politeness_schedule", "w_crawl_order", "j_dedup_first_seen",
-    "url_features", "extract_features_full", "byte_identity",
+    "url_features", "extract_features_full", "byte_identity", "net_features",
     "tok_terms", "tfidf_micro", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "ann_brute_topk", "ann_lsh_topk",
     "lang_id", "quality", "token_counts", "fingerprints",

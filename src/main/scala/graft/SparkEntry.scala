@@ -36,6 +36,12 @@ object SparkEntry {
   // wave-period for politeness schedule checks (ms)
   private val WavePeriodMs = 60000L
 
+  /** Fixed `asOf` instant for the nslookup day-age feature (the
+    * reference uses `datetime.now()` — nondeterminism alert, SURVEY.md
+    * §2.6): 2025-09-01T00:00:00Z, a UTC midnight so the day difference
+    * is an exact calendar-day count in both engines. */
+  private val NetAsOfEpoch = 1756684800L
+
   private def reg(s: SparkSession, dir: String): Unit =
     Synth.views(s, dir, Seq("orders", "documents", "embeddings", "events"))
 
@@ -699,6 +705,81 @@ object SparkEntry {
         s"""ftpu AS (SELECT DISTINCT url FROM seeds WHERE ${Synth.ftpWhere})
            |SELECT count(*) AS n_checked, cast(0 as bigint) AS n_mismatch
            |FROM ftpu WHERE NOT ${NetSynth.fetchMissSql("url")}""".stripMargin)))),
+
+    // ---------------- non-HTML block features (§2.6 HEADER/HOST/
+    // NSLOOKUP/WHOIS/TIMER/CYCLING), previously spec-only behind the
+    // rows-only extract_features_full: per-URL scalar columns through
+    // the REAL parse path (golden text → Blocks.splitText → the block
+    // extractors), oracled by an independent DuckDB replica of the
+    // NetSynth branch rules over the urlSeed hash recomputed in SQL
+    // (NetSynth.urlSeedCtesSql — HUGEINT mod-2^64 splitmix64).
+    // Reference semantics: extractors5/header_feature.py:40-49 (OR-
+    // merged status//100==3 over all HEADER blocks incl. redirect
+    // re-walk hops), host_feature.py:10-24 (IPv4/IPv6 row counts),
+    // nslookup_feature.py:11-60 (alias set, bound-method weird-serial
+    // quirk, day age vs a fixed asOf), whois_feature.py:5-44,
+    // timer_feature.py:4-9 (micro-rounded), cycling_feature.py:4-9
+    // (distinct line count of the warning block; absent block → 0).
+    "net_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Fixtures.pages(s, dir)
+          .filter((p: graft.model.PageRow) => p.text != null)
+          .map { p =>
+            val bd = graft.parse.Blocks.splitText(p.text)
+            def bs(k: String) = bd.blocks.getOrElse(k, Vector.empty)
+            val hdr = graft.features.HeaderFeatures.extract(bs("header"))
+            val host = graft.features.HostFeatures.extract(bs("host"))
+            val ns = graft.features.NslookupFeatures.extract(bs("nslookup"), NetAsOfEpoch)
+            val who = graft.features.WhoisFeatures.extract(bs("whois"))
+            val tim = graft.features.TimerFeatures.extract(bs("timer"))
+            val cyc = graft.features.CyclingFeatures.extract(bs("cycling"))
+            (p.url, hdr(0).toInt, host(0).toInt, host(1).toInt,
+              ns(0).toInt, ns(1).toInt, ns(2).toInt, who(0).toInt,
+              math.rint(tim(0) * 1e6).toLong, cyc(0).toInt)
+          }.toDF("url", "header_is_redirect", "host_ipv4", "host_ipv6",
+            "ns_is_alias", "ns_weird_serial", "ns_day_age", "whois_ok",
+            "timer_micro", "cycling_lines")
+      },
+      Some(Synth.duck(withSeeds(
+        s"""$fetchableCte,
+           |u AS (SELECT DISTINCT url FROM fetchable WHERE NOT ${NetSynth.fetchMissSql("url")}),
+           |${NetSynth.urlSeedCtesSql},
+           |hb AS (SELECT url, h, ${NetSynth.floorModSql("h", 100)} AS hm FROM hseed),
+           |live AS (SELECT url, h FROM hb WHERE ${NetSynth.liveSql("hm")}),
+           |f AS (SELECT url,
+           |  ${NetSynth.floorModSql("h", 26)} AS p26, ${NetSynth.floorModSql("h", 13)} AS p13,
+           |  ${NetSynth.floorModSql("h", 2)} AS p2, ${NetSynth.floorModSql("h", 6)} AS p6,
+           |  ${NetSynth.floorModSql("h", 3)} AS p3, ${NetSynth.floorModSql("h", 4)} AS p4,
+           |  ${NetSynth.floorModSql("h", 5)} AS p5,
+           |  ${NetSynth.floorModSql("h", 8)} AS py,
+           |  ${NetSynth.floorModSql(NetSynth.asrSql("h", 8), 12)} AS pmo,
+           |  ${NetSynth.floorModSql(NetSynth.asrSql("h", 16), 28)} AS pd,
+           |  ${NetSynth.floorModSql("h", 200000000)} AS pep,
+           |  ${NetSynth.floorModSql("h", 100000)} AS ptm
+           |  FROM live)
+           |SELECT url,
+           |  CASE WHEN p26 = 0 OR p13 = 0 THEN 1 ELSE 0 END AS header_is_redirect,
+           |  cast(1 + (CASE WHEN p2 = 0 THEN 1 ELSE 0 END) as int) AS host_ipv4,
+           |  CASE WHEN p6 < 2 THEN 1 ELSE 0 END AS host_ipv6,
+           |  CASE WHEN p3 = 0 THEN 1 ELSE 0 END AS ns_is_alias,
+           |  CASE WHEN p4 = 2 THEN 1 ELSE 0 END AS ns_weird_serial,
+           |  cast(CASE WHEN p4 = 0 THEN date_diff('day', make_date(cast(2010 + py as int), cast(1 + pmo as int), cast(1 + pd as int)), DATE '2025-09-01')
+           |            WHEN p4 = 1 THEN
+           |              -- a 10-digit epoch serial whose digits 5-6 read as a
+           |              -- month (01-12) and 7-8 as a day (01-32) matches the
+           |              -- reference's DATE regex first and parses as a year-
+           |              -- 12xx/13xx date, whose day count trips the
+           |              -- days >= epochDays clamp -> 0 (nslookup_feature.py:44-57)
+           |              CASE WHEN cast(substr(cast(1200000000 + pep as varchar), 5, 2) as int) BETWEEN 1 AND 12
+           |                    AND cast(substr(cast(1200000000 + pep as varchar), 7, 2) as int) BETWEEN 1 AND 32
+           |                   THEN 0
+           |                   ELSE (1756684800 - (1200000000 + pep)) // 86400 END
+           |            ELSE 0 END as int) AS ns_day_age,
+           |  CASE WHEN p5 = 0 THEN 0 ELSE 1 END AS whois_ok,
+           |  cast(ptm * 1000 as bigint) AS timer_micro,
+           |  cast(CASE WHEN p26 = 0 THEN 3 ELSE 0 END as int) AS cycling_lines
+           |FROM f""".stripMargin)))),
 
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
     "tok_terms" -> split2(sparkTokSql, duckTokSql),

@@ -78,6 +78,60 @@ object NetSynth {
   def linkExtSql(urlCol: String, iCol: String): String =
     s"((instr('0123456789abcdef', substr(md5($urlCol || '#a' || cast($iCol as string)), 2, 1)) - 1) % 7)"
 
+  // ---- DuckDB replica of [[urlSeed]] (oracle portability). The net
+  // blocks' branch rules are pos(urlSeed(url), k) selections, so an
+  // oracle over them must recompute the 64-bit seed in SQL: HUGEINT
+  // mod-2^64 arithmetic for the multiplies (a 64×64 product splits into
+  // 32-bit halves to stay inside HUGEINT), UBIGINT for the xor/logical-
+  // shift steps (Java >>> ≡ UBIGINT >>). Validated char-exact against
+  // the Scala fold for the full sf0.01 URL population (net_features).
+  private val TwoPow64 = "18446744073709551616"
+
+  /** `(a * b) % 2^64` for a HUGEINT expr `a` in [0, 2^64) and a 64-bit
+    * unsigned constant `b`. */
+  private def mulMod64Sql(a: String, b: BigInt): String = {
+    val bHi = b >> 32
+    val bLo = b & 0xffffffffL
+    s"(($a * $bLo + (($a * $bHi) % 4294967296) * 4294967296) % $TwoPow64)"
+  }
+
+  /** CTE chain from a relation `u(url)` to `hseed(url, h)` where `h` is
+    * the SIGNED [[urlSeed]] value as HUGEINT (range of a Java Long). */
+  def urlSeedCtesSql: String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""hs0 AS (SELECT url, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |          list_transform(generate_series(1, length(url)), i -> CAST(unicode(substr(url, i, 1)) AS HUGEINT))),
+       |          (a, c) -> (31*a + c) % $TwoPow64) AS f FROM u),
+       |hs1 AS (SELECT url, CAST((f + $c1) % $TwoPow64 AS UBIGINT) AS z FROM hs0),
+       |hs2 AS (SELECT url, CAST(xor(z, z >> 30) AS HUGEINT) AS z FROM hs1),
+       |hs3 AS (SELECT url, CAST(${mulMod64Sql("z", c2)} AS UBIGINT) AS z FROM hs2),
+       |hs4 AS (SELECT url, CAST(xor(z, z >> 27) AS HUGEINT) AS z FROM hs3),
+       |hs5 AS (SELECT url, CAST(${mulMod64Sql("z", c3)} AS UBIGINT) AS z FROM hs4),
+       |hs6 AS (SELECT url, xor(z, z >> 31) AS z FROM hs5),
+       |hseed AS (SELECT url, CASE WHEN z >= 9223372036854775808
+       |                           THEN CAST(z AS HUGEINT) - $TwoPow64
+       |                           ELSE CAST(z AS HUGEINT) END AS h FROM hs6)""".stripMargin
+  }
+
+  /** `Math.floorMod(x, m)` over a (possibly negative) HUGEINT expr. */
+  def floorModSql(x: String, m: Long): String = s"((($x) % $m + $m) % $m)"
+
+  /** Java arithmetic `x >> k` over a signed HUGEINT expr: floor
+    * division by 2^k (exact integer arithmetic, no doubles). */
+  def asrSql(x: String, k: Int): String = {
+    val p = 1L << k
+    s"((($x) - ${floorModSql(x, p)}) // $p)"
+  }
+
+  /** Liveness of a synthesized page as SQL over the seed-hash bucket
+    * `hm = floorMod(h, 100)`: every hm < 11 branch is dead (404/parked/
+    * suspended titles 0-4, 404 status 5-7, pdf content-type 8, 503
+    * status 9, image content-type 10) and every hm >= 11 page passes
+    * all three liveness screens — the rule [[forUrlImpl]] encodes. */
+  def liveSql(hmCol: String): String = s"($hmCol >= 11)"
+
   val langs: Vector[String] = Vector("en", "de", "fr", "es", "zh")
 
   /** The single hm → Content-Type rule (byte-identity-critical: the
