@@ -339,10 +339,17 @@ final class CrawlWave(
     spark: SparkSession,
     pages: DataFrame,
     store: SnapshotTable,
-    cfg: CrawlWave.Config = CrawlWave.Config()) {
+    cfg: CrawlWave.Config = CrawlWave.Config(),
+    fetcher: Option[Fetcher] = None) {
 
   import CrawlWave._
   import spark.implicits._
+
+  /** The fetch seam ([[Fetcher]]): default = the bucketed page-store
+    * join; pass a [[TransportFetcher]] to crawl live instead (the pages
+    * table is then only the golden-fixture source and may be empty). */
+  private lazy val theFetcher: Fetcher =
+    fetcher.getOrElse(new PageJoinFetcher(pagesByUrl, cfg.partitions))
 
   /** Pages pre-partitioned by the fetch-join key ONCE and cached, so
     * every wave's join reuses the partitioning (only the small wave
@@ -613,27 +620,20 @@ final class CrawlWave(
     * pages side is scanned exactly ONCE per crawl generation and the
     * hash builds on the frontier side (BuildLeft). At the 10^10 design
     * point this is the bucketed-join bulk-fetch over the page store; in
-    * a live deployment the join is replaced by an async-HTTP
-    * mapPartitions whose cost is O(slice), not O(pages). */
+    * a live deployment the [[Fetcher]] seam swaps the join for a
+    * host-clustered async-HTTP [[TransportFetcher]] whose cost is
+    * O(slice), not O(pages). */
   private def prefetchAll(): DataFrame = {
     if (prefetched == null) {
       val dir = store.scratchPath(scratchName)
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_SUCCESS_GRAFT"))) {
         val withLinks = cfg.discover // capture the flag, not the config
-        plan
+        val slice = plan
           // wave >= genWave0: fetch THIS generation only (earlier
           // generations are still 'ready' in the table — see genWave0)
           .where(col("state") === "ready" && col("wave") >= genWave0)
           .select("seq", "url", "host", "wave", "url_hash")
-          .repartition(cfg.partitions, col("url"))
-          .hint("SHUFFLE_HASH")
-          .alias("f")
-          .join(pagesByUrl.alias("p"), col("f.url") === col("p.url"), "left")
-          .select(col("f.seq").as("seq"), col("f.url").as("url"),
-            col("f.host").as("host"), col("f.wave").as("wave"),
-            col("f.url_hash").as("url_hash"),
-            col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-            col("p.text_hash").as("text_hash"))
+        theFetcher.fetch(slice)
           .as[FetchRow].map(r => CrawlWave.fetchOutcome(r, withLinks)).toDF()
           // text_len lets every small consumer (metrics, seen delta,
           // frontier delta) prune the text column away entirely — only

@@ -423,6 +423,105 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
 
+  /** The caller-recorded per-commit row counts of one manifest (the
+    * rows `commit(rowCounts = …)` claimed this commit contributed). */
+  def rowCountsOf(version: Int): Map[String, Long] = {
+    val m = manifestNode(version).get("row_counts")
+    if (m == null) Map.empty
+    else m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Post-crash fsck: walk every listed manifest and check the
+    * manifest ↔ dirs ↔ row_counts invariants a correct store upholds
+    * at ALL times (crash recovery relies on them):
+    *
+    *  - every manifest parses, self-identifies (`version` field), and
+    *    names a strictly older parent;
+    *  - every data dir and every ViewRef dir a manifest references
+    *    exists on disk, with no duplicate dir entries (a duplicate
+    *    would double-count rows at read time);
+    *  - every view-bearing table also appears in the tables map
+    *    ([[read]] resolves the table entry first);
+    *  - every recorded schema DDL parses;
+    *  - the version hint resolves ([[latestVersion]]'s healing) to the
+    *    newest listed manifest;
+    *  - deep (newest `deepVersions` manifests whose parent is still
+    *    listed): the caller-recorded `row_counts` equal the rows the
+    *    commit actually contributed on disk — the delta dirs plus the
+    *    delta view-group dirs (where-filtered), counted with Spark.
+    *
+    * ORPHAN dirs (written but referenced by no manifest — the normal
+    * leftovers of a crash between data write and manifest publish) are
+    * NOT problems: [[removeOrphans]] owns them, and resume overwrites
+    * them idempotently. Returns human-readable problem strings; empty
+    * = healthy. An empty store verifies trivially. */
+  def verify(deepVersions: Int = 1): Seq[String] = {
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    val versions = listedVersions.sorted
+    if (versions.isEmpty) return Nil
+    if (!latestVersion.contains(versions.max))
+      problems += s"latestVersion=$latestVersion does not heal to newest manifest v${versions.max}"
+    def dirExists(d: String) = Files.isDirectory(Paths.get(root, d))
+    for (v <- versions) {
+      try {
+        val node = manifestNode(v)
+        if (node.get("version").asInt() != v)
+          problems += s"v$v: manifest self-identifies as ${node.get("version").asInt()}"
+        if (node.get("parent").asInt() >= v)
+          problems += s"v$v: parent ${node.get("parent").asInt()} not older"
+        val tdirs = tableDirsOf(node)
+        for ((t, dirs) <- tdirs) {
+          if (dirs.distinct.length != dirs.length)
+            problems += s"v$v/$t: duplicate dir entries (${dirs.mkString(", ")})"
+          dirs.filterNot(dirExists).foreach(d => problems += s"v$v/$t: missing data dir $d")
+        }
+        for ((t, groups) <- viewsOfNode(node)) {
+          if (!tdirs.contains(t))
+            problems += s"v$v: view-bearing table $t absent from tables map"
+          groups.flatMap(_.dirs).filterNot(dirExists)
+            .foreach(d => problems += s"v$v/$t: missing view dir $d")
+        }
+        for ((t, ddl) <- schemasOfNode(node))
+          try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          catch { case e: Exception => problems += s"v$v/$t: schema DDL unparseable: ${e.getMessage}" }
+      } catch {
+        case e: Exception => problems += s"v$v: manifest unreadable: ${e.getMessage}"
+      }
+    }
+    for (v <- versions.takeRight(deepVersions.max(0)); if problems.isEmpty) {
+      val node = manifestNode(v)
+      val counts = rowCountsOf(v)
+      val parent = node.get("parent").asInt()
+      // an expired parent leaves the delta unreconstructible — legal
+      // (expiration is the feature), so the deep check just skips
+      if (counts.nonEmpty && (parent == 0 || versions.contains(parent))) {
+        val pNode = if (parent == 0) None else Some(manifestNode(parent))
+        val pDirs = pNode.map(tableDirsOf).getOrElse(Map.empty)
+        val pViews = pNode.map(viewsOfNode).getOrElse(Map.empty)
+        for ((t, n) <- counts) {
+          val newDirs = tableDirsOf(node).getOrElse(t, Nil)
+            .filterNot(pDirs.getOrElse(t, Nil).toSet)
+          val dirRows = newDirs.map(d =>
+            spark.read.parquet(Paths.get(root, d).toString).count()).sum
+          val viewRows = viewsOfNode(node).getOrElse(t, Nil).map { vr =>
+            val prior = pViews.getOrElse(t, Nil)
+              .filter(p => p.base == vr.base && p.where == vr.where && p.select == vr.select)
+              .flatMap(_.dirs).toSet
+            val fresh = vr.dirs.filterNot(prior)
+            if (fresh.isEmpty) 0L
+            else spark.read
+              .option("basePath", Paths.get(root, vr.base).toString)
+              .parquet(fresh.map(d => Paths.get(root, d).toString): _*)
+              .where(vr.where).count()
+          }.sum
+          if (dirRows + viewRows != n)
+            problems += s"v$v/$t: row_counts=$n but commit contributed ${dirRows + viewRows} rows on disk"
+        }
+      }
+    }
+    problems.toSeq
+  }
+
   /** A scratch-dataset path under the store root, used for the crawl's
     * prefetched fetch results. NOTE: once a wave commits with a
     * [[SnapshotTable.ViewRef]] into it, the referenced `wave=K` dirs

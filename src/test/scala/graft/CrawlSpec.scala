@@ -850,36 +850,77 @@ class CrawlSpec extends AnyFunSuite {
     // which may change semantics, so the same model must still agree;
     // trial 4 turns the S8 FTP branch on (ftp rows schedule and fetch,
     // the image-ext skip stays http-only)
+    def genRows(n: Int): Seq[(Long, String, Int)] = (1 to n).map { i =>
+      val r = rnd.nextInt(10)
+      val url =
+        if (r < 6) base(rnd.nextInt(base.length))
+        else if (r == 6) s"http://fuzz${rnd.nextInt(4)}.example.net/p/${rnd.nextInt(40)}" // miss
+        else if (r == 7) s"ftp://drop${rnd.nextInt(4)}.example.net/f${rnd.nextInt(9)}"    // scheme
+        else if (r == 8) s"http://img${rnd.nextInt(4)}.example.net/i${rnd.nextInt(9)}.PNG" // ext
+        else base(rnd.nextInt(base.length)) // extra dup pressure
+      (i.toLong, url, rnd.nextInt(3))
+    }
+
+    def assertMatchesModel(trial: String, st: SnapshotTable,
+        rows: Seq[(Long, String, Int)], fetchFtp: Boolean): Unit = {
+      val got = st.readLatest("frontier").get
+        .select("seq", "state", "wave").as[(Long, String, Int)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val want = simulate(rows, fetchFtp = fetchFtp)
+      val diff = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).toSeq.sorted
+      assert(diff.isEmpty,
+        s"trial $trial: ${diff.size} rows diverge, e.g. " +
+          diff.take(5).map(k => s"seq=$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+    }
+
     val configs = Seq(cfg(4), cfg(4),
       cfg(4).copy(seenFilter = "cuckoo", scalableRank = true,
         pipelineCommits = true, compactSeenEvery = 2),
       cfg(4).copy(fetchFtp = true))
     for ((trialCfg, trial0) <- configs.zipWithIndex) {
       val trial = trial0 + 1
-      val n = 250
-      val rows: Seq[(Long, String, Int)] = (1 to n).map { i =>
-        val r = rnd.nextInt(10)
-        val url =
-          if (r < 6) base(rnd.nextInt(base.length))
-          else if (r == 6) s"http://fuzz${rnd.nextInt(4)}.example.net/p/${rnd.nextInt(40)}" // miss
-          else if (r == 7) s"ftp://drop${rnd.nextInt(4)}.example.net/f${rnd.nextInt(9)}"    // scheme
-          else if (r == 8) s"http://img${rnd.nextInt(4)}.example.net/i${rnd.nextInt(9)}.PNG" // ext
-          else base(rnd.nextInt(base.length)) // extra dup pressure
-        (i.toLong, url, rnd.nextInt(3))
-      }
+      val rows = genRows(250)
       val seeds = rows.toDF("seq", "url", "priority")
       val root = Files.createTempDirectory(s"crawl-fuzz-$trial-").toString
       val st = new SnapshotTable(spark, root)
       new CrawlWave(spark, pagesDf, st, trialCfg).runAll(seeds)
-      val got = st.readLatest("frontier").get
-        .select("seq", "state", "wave").as[(Long, String, Int)]
-        .collect().map(r => r._1 -> (r._2, r._3)).toMap
-      val want = simulate(rows, fetchFtp = trialCfg.fetchFtp)
-      val diff = (got.keySet ++ want.keySet)
-        .filter(k => got.get(k) != want.get(k)).toSeq.sorted
-      assert(diff.isEmpty,
-        s"trial $trial: ${diff.size} rows diverge, e.g. " +
-          diff.take(5).map(k => s"seq=$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+      assertMatchesModel(trial.toString, st, rows, trialCfg.fetchFtp)
+      assert(st.verify().isEmpty, s"trial $trial fsck: ${st.verify().mkString("; ")}")
+    }
+
+    // trial 5: retention + compaction ACTIVE (expireKeep > 0,
+    // compactSeenEvery small) with a crash INSIDE the first
+    // squash-bearing commit — squash output dirs written, manifest
+    // unpublished (deleted), version hint pointing at the lost version.
+    // The resumed engine must converge to the same model state, and the
+    // store must fsck clean afterwards. This crosses the one
+    // maintenance interleaving the single-feature trials don't: a
+    // squash round lost mid-publish while expiration has already been
+    // deleting superseded history.
+    {
+      val trialCfg = cfg(4).copy(compactSeenEvery = 2, expireKeep = 1)
+      val rows = genRows(250)
+      val seeds = rows.toDF("seq", "url", "priority")
+      val root = Files.createTempDirectory("crawl-fuzz-5-").toString
+      val st = new SnapshotTable(spark, root)
+      val cw = new CrawlWave(spark, pagesDf, st, trialCfg)
+      cw.init(seeds)
+      var crashed = false
+      var prevKeep = 0L
+      while (!crashed && cw.step().isDefined) {
+        val v = st.latestVersion.get
+        val keep = st.metricsOf(v).getOrElse("seen_keep_dirs", 0L)
+        if (keep > prevKeep) { // this commit squashed: lose its publish
+          Files.delete(java.nio.file.Paths.get(root, "manifests", f"v$v%05d.json"))
+          crashed = true
+        } else prevKeep = keep
+      }
+      assert(crashed, "trial 5 never reached a squash commit — shrink compactSeenEvery")
+      new CrawlWave(spark, pagesDf, st, trialCfg).runAll(seeds)
+      assertMatchesModel("5 (mid-squash crash + expire)", st, rows, fetchFtp = false)
+      val fsck = st.verify()
+      assert(fsck.isEmpty, s"trial 5 fsck: ${fsck.mkString("; ")}")
     }
     pagesDf.unpersist()
   }
@@ -954,6 +995,10 @@ class CrawlSpec extends AnyFunSuite {
       // resume: a brand-new engine over the crashed store
       new CrawlWave(spark, pages, st, sweepCfg).runAll(seeds)
       assert(crawlState(st) == want, s"crash point $k diverged from the control")
+      // post-crash fsck: a resumed store upholds every manifest ↔ dirs
+      // ↔ row_counts invariant, whatever the crash left behind
+      val fsck = st.verify()
+      assert(fsck.isEmpty, s"crash point $k fsck: ${fsck.mkString("; ")}")
     }
     pages.unpersist()
   }

@@ -317,4 +317,52 @@ class SnapshotSpec extends AnyFunSuite {
     val v2 = st.commit(replace = Map("t" -> Seq(9).toDF("x")))
     assert(v2 == 2 && st.read("t", 2).as[Int].collect().toSeq == Seq(9))
   }
+
+  test("verify(): healthy stores fsck clean; every planted corruption class is reported") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap-fsck-").toString
+    val st = new SnapshotTable(spark, root)
+    assert(st.verify().isEmpty) // empty store: trivially healthy
+
+    // a store exercising every shape verify walks: data dirs, appends,
+    // a ViewRef group, recorded row_counts, squash, orphans
+    val base = "scratch/pre"
+    Seq((1, true), (2, false)).toDF("id", "ok")
+      .write.parquet(java.nio.file.Paths.get(root, base, "wave=0").toString)
+    st.commit(replace = Map("t" -> Seq(1, 2, 3).toDF("x")), rowCounts = Map("t" -> 3L))
+    st.commit(append = Map("t" -> Seq(4).toDF("x")),
+      appendRef = Map("v" -> SnapshotTable.ViewRef(base, Seq(s"$base/wave=0"), "ok", Seq("id"))),
+      rowCounts = Map("t" -> 1L, "v" -> 1L))
+    assert(st.verify(deepVersions = 2).isEmpty)
+    // an orphan (crash leftover) is NOT a corruption
+    Seq(9).toDF("x").write
+      .parquet(java.nio.file.Paths.get(root, "data", "t", "v00009").toString)
+    assert(st.verify().isEmpty)
+
+    // corruption 1: recorded row_counts disagree with the data on disk
+    val lying = st.commit(append = Map("t" -> Seq(5, 6).toDF("x")),
+      rowCounts = Map("t" -> 7L))
+    val p1 = st.verify()
+    assert(p1.exists(m => m.contains("row_counts=7") && m.contains("2 rows")), p1.mkString("; "))
+
+    // corruption 2: a referenced data dir vanishes
+    val dir = st.tableDirs(lying)("t").head
+    val moved = java.nio.file.Paths.get(root, dir + ".hidden")
+    java.nio.file.Files.move(java.nio.file.Paths.get(root, dir), moved)
+    assert(st.verify().exists(_.contains("missing data dir")))
+    java.nio.file.Files.move(moved, java.nio.file.Paths.get(root, dir))
+
+    // corruption 3: a referenced view dir vanishes
+    val vmoved = java.nio.file.Paths.get(root, base, "wave=0.hidden")
+    java.nio.file.Files.move(java.nio.file.Paths.get(root, base, "wave=0"), vmoved)
+    assert(st.verify().exists(_.contains("missing view dir")))
+    java.nio.file.Files.move(vmoved, java.nio.file.Paths.get(root, base, "wave=0"))
+
+    // corruption 4: an unparseable manifest
+    val mp = java.nio.file.Paths.get(root, "manifests", f"v$lying%05d.json")
+    val good = java.nio.file.Files.readString(mp)
+    java.nio.file.Files.writeString(mp, good.dropRight(5))
+    assert(st.verify().exists(_.contains("unreadable")))
+    java.nio.file.Files.writeString(mp, good)
+  }
 }
