@@ -481,17 +481,29 @@ final class CrawlWave(
   }
 
   /** Error rows for plan-time terminal states (S2/S3 drops, dup,
-    * robots denials) of a planned frontier frame. */
-  private def planErrors(frontier: DataFrame): DataFrame = frontier
-    .where(col("state").isin("dropped_scheme", "dropped_ext", "dup", "denied_robots"))
-    .select(col("seq"), col("url"), col("host"), lit(-1).as("wave"), lit(false).as("ok"),
-      when(col("state") === "dropped_scheme", "skip this file(scheme)")
-        .when(col("state") === "dropped_ext", "skip this file")
-        .when(col("state") === "denied_robots", "robots.txt disallow")
-        .otherwise("duplicate url").as("err"),
-      lit(null).cast("string").as("text"),
-      lit(null).cast("array<double>").as("features"),
-      lit(false).as("render_match"))
+    * robots denials) of a planned frontier frame — as a METADATA-ONLY
+    * [[graft.store.SnapshotTable.ViewRef]] over the frontier data dir
+    * the same commit writes. The rows already live byte-for-byte in
+    * the frontier table; re-writing them as an errors parquet was one
+    * full extra pass over the plan at init and per discovery
+    * generation (measured: 2.7 s of the 13.5 s 4-core init, 7.5 s at
+    * 1 core — and at the 10^10 design point it would be a second copy
+    * of hundreds of millions of dropped rows). The Iceberg analogue is
+    * existing data files adopted by a metadata-only append. */
+  private[jobs] val planErrorsWhere =
+    "state IN ('dropped_scheme','dropped_ext','dup','denied_robots')"
+  private[jobs] val planErrorsSelect = Seq(
+    "seq", "url", "host", "CAST(-1 AS int) AS wave", "false AS ok",
+    "CASE WHEN state = 'dropped_scheme' THEN 'skip this file(scheme)' " +
+      "WHEN state = 'dropped_ext' THEN 'skip this file' " +
+      "WHEN state = 'denied_robots' THEN 'robots.txt disallow' " +
+      "ELSE 'duplicate url' END AS err",
+    "CAST(NULL AS string) AS text",
+    "CAST(NULL AS array<double>) AS features",
+    "false AS render_match")
+  private def planErrorsRef(frontierDir: String): graft.store.SnapshotTable.ViewRef =
+    graft.store.SnapshotTable.ViewRef(frontierDir, Seq(frontierDir),
+      planErrorsWhere, planErrorsSelect)
 
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
     // cache: the commit write AND the stats action both consume the plan
@@ -524,9 +536,13 @@ final class CrawlWave(
       append = Map(
         "seen" -> emptySeen(spark),
         "samples" -> emptyOutcomes(spark).limit(0),
-        "errors" -> planErrors(frontier),
         "metrics" -> emptyMetrics(spark),
         "frontier_delta" -> emptyDelta(spark)),
+      // plan-time error rows (S2/S3 drops, dup, robots denials) as a
+      // metadata-only view over the frontier dir this commit writes
+      // (init only runs on an empty store → this is always v1)
+      appendRef = Map("errors" -> planErrorsRef(
+        f"data/frontier/v${store.latestVersion.getOrElse(0) + 1}%05d")),
       metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
         "gen_wave0" -> 0L, "seen_keep_dirs" -> 0L,
         "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong))
@@ -704,8 +720,10 @@ final class CrawlWave(
     // see the identical union through the manifest's dir list. The
     // final-wave reconcile stays the single O(frontier) replace.
     val c = store.commit(
-      append = Map("frontier" -> planned,
-        "errors" -> planErrors(planned)),
+      append = Map("frontier" -> planned),
+      // plan-time error rows: metadata-only view over the SAME frontier
+      // delta dir this commit writes (expectedParent pins its version)
+      appendRef = Map("errors" -> planErrorsRef(f"data/frontier/v${v + 1}%05d")),
       metrics = Map("wave" -> planMaxWave.toLong, "max_wave" -> newMax.toLong,
         "gen" -> (generation + 1).toLong, "discovered" -> nDiscovered,
         "gen_wave0" -> (planMaxWave + 1).toLong,
