@@ -116,7 +116,7 @@ object Bench {
   }
 
   def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame,
-      rep: Int = seedRep): (Long, Double) = {
+      rep: Int = seedRep): (Long, Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-").toString
     val parts = fixedParts.getOrElse(
       spark.sparkContext.defaultParallelism * partsPerCore)
@@ -160,12 +160,23 @@ object Bench {
       seenFilter = if (scaleConfigOn) "cuckoo" else "bloom",
       compactSeenEvery = if (scaleConfigOn) 2 else 64))
     try {
+      // total time AND the wave-phase (steady-state) time: init = the
+      // one-time plan build (frontier states, robots, politeness
+      // schedule), ~30% of a sandbox-scale run but amortized to ~zero
+      // at the 10^10 design point where one plan drives hours of
+      // waves. The wave phase IS the "URLs fetched+extracted/sec"
+      // work; its N→4N pair efficiency is reported alongside the
+      // whole-run number as steady_state_* (BASELINE.md, round 3).
       val t0 = System.nanoTime()
-      cw.runAll(seeds)
-      val sec = (System.nanoTime() - t0) / 1e9
+      cw.init(seeds)
+      val tInit = System.nanoTime()
+      while (cw.step().isDefined) ()
+      val tEnd = System.nanoTime()
+      val sec = (tEnd - t0) / 1e9
+      val waveSec = (tEnd - tInit) / 1e9
       val urls = store.readLatest("frontier").get
         .where("state in ('done','error')").count()
-      (urls, sec)
+      (urls, sec, waveSec)
     } finally {
       pages.unpersist(); seeds.unpersist()
       // delete the run's store+scratch (~1 GB of freshly-dirtied pages)
@@ -186,7 +197,7 @@ object Bench {
   }
 
   /** One full crawl+extract run synthesizing fixtures from `sfDir`. */
-  def crawlRun(spark: SparkSession, sfDir: String, rep: Int = seedRep): (Long, Double) =
+  def crawlRun(spark: SparkSession, sfDir: String, rep: Int = seedRep): (Long, Double, Double) =
     crawlRunOn(spark, Fixtures.pages(spark, sfDir, rep).toDF(), Fixtures.seeds(spark, sfDir, rep), rep)
 
   // headline query subset (heaviest, most representative operators)
@@ -231,7 +242,7 @@ object Bench {
     // is a min statistic, so consumers need the discarded samples to
     // quantify the selection effect
     val headlineSecs = scala.collection.mutable.ArrayBuffer[Double]()
-    var scaleCfg: Option[(Long, Double)] = None
+    var scaleCfg: Option[(Long, Double, Double)] = None
 
     // guard non-finite doubles: a failed fork yields NaN seconds and a
     // zero-second leg makes urls/sec Infinity — either would render the
@@ -246,7 +257,7 @@ object Bench {
       val qTotal = qTimes.valuesIterator.map(_.max(0.0)).sum
       val total = qTotal + (if (crawlSec.isNaN) 0.0 else crawlSec)
       val hs = headlineSecs.map(j).mkString("[", ",", "]")
-      val sc = scaleCfg.map { case (u, t) =>
+      val sc = scaleCfg.map { case (u, t, _) =>
         s""","scale_config_urls":$u,"scale_config_sec":${j(t)},"scale_config_urls_per_sec":${j(u / t)}"""
       }.getOrElse("")
       s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":${j(crawlSec)},"throughput_urls_per_sec":${j(urls / crawlSec)},"headline_runs":$headlineRuns,"headline_secs":$hs$sc$scaling}"""
@@ -294,7 +305,7 @@ object Bench {
       * near-record — the warm-session number tracks JVM/host history,
       * not the engine. */
     def runAtForked(cpus: Int, dataParts: Int, fix: String,
-        extraEnv: Map[String, String]): (Long, Double) = {
+        extraEnv: Map[String, String]): (Long, Double, Double) = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -348,10 +359,11 @@ object Bench {
       out.linesIterator.find(_.startsWith("RESULT ")) match {
         case Some(l) =>
           val parts = l.split(" ")
-          (parts(1).toLong, parts(2).toDouble)
+          (parts(1).toLong, parts(2).toDouble,
+            if (parts.length > 3) parts(3).toDouble else Double.NaN)
         case None =>
           System.err.println(s"[bench] BenchOne at $cpus cores ${if (done) "failed" else "timed out"}:\n${out.takeRight(2000)}")
-          (0L, Double.NaN)
+          (0L, Double.NaN, Double.NaN)
       }
     }
 
@@ -360,8 +372,8 @@ object Bench {
       * AFTER the budget — pure overshoot, no usable measurement.
       * `floor` is the budget reserved for LATER phases. */
     def runAt(cpus: Int, dataParts: Int, fix: String, floor: Double = 0.0,
-        extraEnv: Map[String, String] = Map.empty): (Long, Double) =
-      if (remaining - floor < 60) (0L, Double.NaN)
+        extraEnv: Map[String, String] = Map.empty): (Long, Double, Double) =
+      if (remaining - floor < 60) (0L, Double.NaN, Double.NaN)
       else runAtForked(cpus, dataParts, fix, extraEnv)
 
     // -------------------------------------------- scaling machinery
@@ -374,9 +386,9 @@ object Bench {
     // regime, so (tN/t4N)/4 per PAIR is the honest scaling unit;
     // per-level bests across pairs can mix regimes and skew the ratio
     // either way (kept as level_best_* fields).
-    val best = scala.collection.mutable.Map[Int, (Long, Double)]()
+    val best = scala.collection.mutable.Map[Int, (Long, Double, Double)]()
     val pairsOf = scala.collection.mutable
-      .Map[Int, List[((Long, Double), (Long, Double))]]()
+      .Map[Int, List[((Long, Double, Double), (Long, Double, Double))]]()
     // platform compute-ceiling probe per pair, index-aligned with
     // pairsOf(w): graft.ExtractProbe forked onto the SAME pinned cores
     // as the pair's larger leg runs the pure per-URL pipeline (no
@@ -416,9 +428,9 @@ object Bench {
         rx.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(Double.NaN)
       } catch { case _: Exception => Double.NaN }
     }
-    def better(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+    def better(a: (Long, Double, Double), b: (Long, Double, Double)): (Long, Double, Double) =
       if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
-    def measure(c: Int, dataParts: Int, fix: String, floor: Double): (Long, Double) = {
+    def measure(c: Int, dataParts: Int, fix: String, floor: Double): (Long, Double, Double) = {
       val r = runAt(c, dataParts, fix, floor)
       best(c) = best.get(c).map(better(_, r)).getOrElse(r)
       r
@@ -433,7 +445,7 @@ object Bench {
         probesOf(w) = probesOf.getOrElse(w, Nil) :+ platformProbe(w)
       }
     }
-    def pairEff(p: ((Long, Double), (Long, Double))): Double =
+    def pairEff(p: ((Long, Double, Double), (Long, Double, Double))): Double =
       (p._1._2 / p._2._2) / 4.0
     // a pair whose quotient exceeds ~1 is not evidence of super-linear
     // scaling — it is the pairwise protocol's failure mode in REVERSE
@@ -446,10 +458,10 @@ object Bench {
     // the REPORTED number for a window with only implausible pairs is
     // the pair nearest 1.0, not the most extreme artifact.
     def plausible(e: Double): Boolean = e <= 1.05
-    def plausibleBest(w: Int): Option[((Long, Double), (Long, Double))] =
+    def plausibleBest(w: Int): Option[((Long, Double, Double), (Long, Double, Double))] =
       pairsOf.getOrElse(w, Nil).filter(p => plausible(pairEff(p)))
         .sortBy(-pairEff(_)).headOption
-    def bestPair(w: Int): Option[((Long, Double), (Long, Double))] =
+    def bestPair(w: Int): Option[((Long, Double, Double), (Long, Double, Double))] =
       plausibleBest(w).orElse(
         pairsOf.getOrElse(w, Nil).sortBy(p => math.abs(pairEff(p) - 1.0)).headOption)
     def effSel(w: Int): Double =
@@ -469,11 +481,11 @@ object Bench {
     def gate: Int = windows.maxBy(effSel)
     def other: Seq[Int] = windows.filterNot(_ == gate)
     def levelBestJson(w: Int): String =
-      (for { (_, tA) <- best.get(w); (_, tB) <- best.get(4 * w) }
+      (for { (_, tA, _) <- best.get(w); (_, tB, _) <- best.get(4 * w) }
         yield s""","level_best_n_sec":${j(tA)},"level_best_n4_sec":${j(tB)},"level_best_efficiency":${j((tA / tB) / 4.0)}""")
         .getOrElse("")
     def altJson(w: Int): String =
-      bestPair(w).map { case ((uA, tA), (uB, tB)) =>
+      bestPair(w).map { case ((uA, tA, _), (uB, tB, _)) =>
         s""","alt_n_cores":$w,"alt_n_sec":${j(tA)},"alt_n_urls_per_sec":${j(uA / tA)},"alt_n4_cores":${4 * w},"alt_n4_sec":${j(tB)},"alt_n4_urls_per_sec":${j(uB / tB)},"alt_efficiency_n_to_4n":${j((tA / tB) / 4.0)}"""
       }.getOrElse("")
     // session32_*: the forked, pinned headline crawl at local[cpus]
@@ -484,8 +496,8 @@ object Bench {
       else {
         val w = gate
         val runs = pairsOf.getOrElse(w, Nil).size
-        val ((uN, tN), (u4, t4)) = bestPair(w).getOrElse(
-          ((0L, Double.NaN), (0L, Double.NaN)))
+        val ((uN, tN, wN), (u4, t4, w4)) = bestPair(w).getOrElse(
+          ((0L, Double.NaN, Double.NaN), (0L, Double.NaN, Double.NaN)))
         val pairEffs = pairsOf.getOrElse(w, Nil).map(p => j(pairEff(p)))
           .mkString("[", ",", "]")
         // the probe aligned with the REPORTED pair: the platform's
@@ -495,13 +507,20 @@ object Bench {
         val probeGate =
           if (selIdx >= 0 && selIdx < probes.size) probes(selIdx) else Double.NaN
         val probeJson = s""","platform_probe_efficiencies":${probes.map(j).mkString("[", ",", "]")},"platform_probe_gate":${j(probeGate)}"""
-        s""","scaling":{"rep":$seedRep,"runs_per_level":$runs,"urls":$uN,"n_cores":$w,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * w},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"pair_efficiencies":$pairEffs$probeJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}}"""
+        // steady-state (wave-phase) efficiency of the same pairs: the
+        // crawl minus the one-time plan build — the design-point-
+        // representative number (plan cost amortizes to ~0 at 10^10
+        // URLs; at sandbox scale it is ~30% of the run and scales
+        // worse than the waves, see BASELINE.md round 3)
+        val ssEffs = pairsOf.getOrElse(w, Nil).map(p => (p._1._3 / p._2._3) / 4.0)
+        val ssJson = s""","steady_state_n_sec":${j(wN)},"steady_state_n4_sec":${j(w4)},"steady_state_efficiency_n_to_4n":${j((wN / w4) / 4.0)},"steady_state_pair_efficiencies":${ssEffs.map(j).mkString("[", ",", "]")}"""
+        s""","scaling":{"rep":$seedRep,"runs_per_level":$runs,"urls":$uN,"n_cores":$w,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * w},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"pair_efficiencies":$pairEffs$probeJson$ssJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}}"""
       }
     }
     // a clear = a pair that is BOTH >= 0.80 and plausible
     def cleared: Boolean = effSel(gate) >= 0.80
     def pairCost: Double =
-      bestPair(gate).map { case ((_, tN), (_, t4)) => (tN + t4) * 1.1 + 75 }
+      bestPair(gate).map { case ((_, tN, _), (_, t4, _)) => (tN + t4) * 1.1 + 75 }
         .getOrElse(300.0)
 
     // budget reserved ahead of the gate for the later phases: the

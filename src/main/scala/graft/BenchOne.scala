@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * sessions in one JVM showed progressive degradation that contaminates
   * the comparison). An optional 4th arg points at a pre-materialized
   * fixture dir (`pages`/`seeds` parquet written once by the parent) so
-  * forks skip fixture synthesis. Prints one line: `RESULT <urls> <sec>`. */
+  * forks skip fixture synthesis. Prints one line:
+  * `RESULT <urls> <totalSec> <waveSec>` (waveSec = post-init steady
+  * state, see Bench.crawlRunOn). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -53,12 +55,12 @@ object BenchOne {
     // the tiny crawl above warms Spark's machinery but not the hot
     // loops' invocation counts (see Bench.warmExtract)
     Bench.warmExtract(threads = cpus)
-    val (urls, sec) = fixtureDir match {
+    val (urls, sec, waveSec) = fixtureDir match {
       case Some(d) => Bench.crawlRunOn(spark,
         spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), rep)
       case None => Bench.crawlRun(spark, sfDir, rep)
     }
-    println(s"RESULT $urls $sec")
+    println(s"RESULT $urls $sec $waveSec")
     spark.stop()
   }
 }
