@@ -437,8 +437,18 @@ object Bench {
     }
     def measurePair(w: Int, fix: String, floor: Double): Unit = {
       val wParts = partsPerCore * 4 * w
-      val rN = measure(w, wParts, fix, floor)
-      val r4 = measure(4 * w, wParts, fix, floor)
+      // leg order ALTERNATES per pair: a fixed N→4N order under
+      // monotone host slowdown always measures the 4N leg in the
+      // later (slower) part of the pair's window — a one-directional
+      // bias on the ratio (and the reverse under speed-up). Alternating
+      // cancels the systematic component; the plausibility cap and the
+      // reported median still guard the stochastic part.
+      val fourFirst = pairsOf.getOrElse(w, Nil).size % 2 == 1
+      val (rN, r4) =
+        if (fourFirst) { val b = measure(4 * w, wParts, fix, floor)
+          (measure(w, wParts, fix, floor), b) }
+        else { val a = measure(w, wParts, fix, floor)
+          (a, measure(4 * w, wParts, fix, floor)) }
       if (!rN._2.isNaN && !r4._2.isNaN) {
         pairsOf(w) = pairsOf.getOrElse(w, Nil) :+ ((rN, r4))
         // ~12 s: the pair's platform reference, same regime, same cores
