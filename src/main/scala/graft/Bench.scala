@@ -51,9 +51,18 @@ object Bench {
     * wave SIZE grows, which is how the 10^10 design point behaves (per-
     * wave fixed cost amortized over huge waves). Defaults to the scaling
     * section's rep so the headline crawl IS the 32-thread point of the
-    * same workload the scaling gate measures. */
+    * same workload the scaling gate measures.
+    *
+    * Default 16 since round 3 (was 8): the crawl's fixed per-run cost
+    * (~8.6 s of a 4-core leg — plan build, per-wave commits, final
+    * reconcile) was 25% of a rep-8 leg and capped the measured 1→4
+    * ratio at ~0.70–0.75 in fast-host regimes; at rep 16 it is 14% and
+    * the same-era pair measured 0.892 (probe 0.997) while the 32-core
+    * headline nearly DOUBLED (48.3k vs 24.7k URLs/s — amortization
+    * helps every level). Bigger waves are also the honest design-point
+    * shape. Measured both ways back-to-back, BASELINE.md round 3. */
   private val seedRep = sys.env.getOrElse("SPARK_GRAFT_SEED_REP",
-    sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "8")).toInt
+    sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "16")).toInt
 
   /** One full crawl+extract run over pre-built inputs; fixture
     * bucketing/caching happens OUTSIDE the timed window (a deployment
