@@ -631,7 +631,12 @@ object Bench {
         catch { case _: Throwable => () }
         // reserve: the final-line slack, plus one top-up gate pair when
         // the gate is still short (phase 5)
-        def reserve: Double = 15.0 + (if (!cleared && scalingOn) pairCost else 0.0)
+        // must cover phase 5's top-up guard (pairCost + 75) EXACTLY,
+        // plus the final-line slack: a reserve of pairCost + 15 left
+        // the top-up 60 s short after queries — observed on replicate
+        // 38, where a 0.566 drift-straddle first pair got no second
+        // chance because the queries ate into the guard's margin
+        def reserve: Double = 20.0 + (if (!cleared && scalingOn) pairCost + 75 else 0.0)
         // groups of queries that timed out while still in driver-side
         // planning (no active job yet → the one-shot cancel was a
         // no-op): re-cancel them before every later timed query so
