@@ -13,25 +13,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`BASELINE.json:metric`), reported as `throughput_urls_per_sec`.
   *
   * BUDGET-AWARE: the whole run fits `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  * (default 1100 s) of wall clock. Phase order: fixtures → SCALING
-  * GATE (the pass/fail metric runs in the freshest budget window) →
-  * forked headline crawl → scale-config fork → headline queries →
-  * leftover-budget gate top-up + headline retry. Every headline query
-  * runs in a job group with a hard timeout (cancelled, recorded as
-  * negative time); a cumulative parseable result line follows every
-  * phase and every gate pair, so an external kill anywhere leaves the
-  * best evidence so far.
+  * (default 1100 s) of wall clock. Phase order (round 4): fixtures →
+  * HEADLINE crawl fork → SCALING GATE → scale-config fork → headline
+  * queries → leftover-budget gate top-up + headline retry.
   *
-  * Scaling protocol (BASELINE.md): the same crawl at N and 4N cores on
-  * the same pre-materialized input, each level in a FRESH FORKED JVM
-  * (sequential sessions in one JVM degrade progressively), run as
-  * back-to-back N,4N PAIRS; `efficiency = (tN / t4N) / 4` of the best
-  * pair. Pairwise because this host's effective speed drifts over tens
-  * of minutes (see the pairwise-efficiency comment in the scaling
-  * section): the two legs of one pair share a drift regime, while
-  * per-level bests across pairs can mix regimes and skew the ratio.
+  * Round-4 budget redesign (from the round-3 failure, where one slow
+  * gate pair starved every other deliverable out of the artifact):
+  *  - the headline crawl runs FIRST (one ~40-180 s fork) — the north
+  *    metric can no longer be sacrificed to gate insurance;
+  *  - the gate phase is CAPPED at a fraction of the budget
+  *    (`SPARK_GRAFT_GATE_FRACTION`, default 0.55) and reserves only
+  *    what the query section really needs
+  *    (`SPARK_GRAFT_QUERY_RESERVE_SEC`, default 220 s measured), not a
+  *    speculative top-up pair;
+  *  - when the remaining budget cannot fit a full-rep pair, the gate
+  *    FALLS BACK to half-rep pairs (same fixtures, deterministically
+  *    filtered to half the URL population — see [[BenchOne]]): two
+  *    smaller same-regime pairs beat one budget-killed big one; each
+  *    pair's rep is recorded (`pair_reps`);
+  *  - the query section runs UNCONDITIONALLY (reserve = final-line
+  *    slack only); gate top-ups happen strictly AFTER it, from genuine
+  *    leftovers.
+  * Every headline query runs in a job group with a hard timeout
+  * (cancelled, recorded as negative time); a cumulative parseable
+  * result line follows every phase and every gate pair, so an external
+  * kill anywhere leaves the best evidence so far.
+  *
+  * Scaling protocol (BASELINE.md, unchanged since round 3): the same
+  * crawl at N and 4N cores on the same pre-materialized input, each
+  * level in a FRESH FORKED JVM (sequential sessions in one JVM degrade
+  * progressively), run as back-to-back N,4N PAIRS with alternating leg
+  * order; `efficiency = (tN / t4N) / 4` of the best plausible
+  * (quotient ≤ 1.05) pair. Pairwise because this host's effective
+  * speed drifts over tens of minutes: the two legs of one pair share a
+  * drift regime, while per-level bests across pairs can mix regimes
+  * and skew the ratio. Each leg now also reports GC seconds, shuffle
+  * spill and summed task time (round-3 verdict #3: a poisoned leg must
+  * be attributable from the artifact alone).
   */
 object Bench {
+
+  /** One measured crawl leg (forked [[BenchOne]] RESULT line).
+    * `waveSec` = post-init steady state; `gcSec` = JVM GC wall delta
+    * across the timed run; `spillBytes` = shuffle memory+disk spill;
+    * `taskSec` = summed executor task time (wall × cores ≈ taskSec on
+    * a saturated leg — a big gap means scheduler idle / driver serial
+    * time); `rep` = the leg's workload replication (16 = full
+    * protocol, 8 = budget-fallback half workload). */
+  final case class Leg(urls: Long, sec: Double, waveSec: Double,
+      gcSec: Double, spillBytes: Long, taskSec: Double, rep: Int) {
+    def failed: Boolean = sec.isNaN
+    def initSec: Double = sec - waveSec
+  }
+  private def failedLeg(rep: Int): Leg =
+    Leg(0L, Double.NaN, Double.NaN, Double.NaN, 0L, Double.NaN, rep)
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -60,13 +95,14 @@ object Bench {
     * the same-era pair measured 0.892 (probe 0.997) while the 32-core
     * headline nearly DOUBLED (48.3k vs 24.7k URLs/s — amortization
     * helps every level). Bigger waves are also the honest design-point
-    * shape. Measured both ways back-to-back, BASELINE.md round 3. */
+    * shape. Measured both ways back-to-back, BASELINE.md round 3.
+    * Round 4 adds the budget FALLBACK to half this rep (the gate phase
+    * switches when a full-rep pair provably no longer fits) instead of
+    * letting one slow full-rep pair consume the whole run. */
   private val seedRep = sys.env.getOrElse("SPARK_GRAFT_SEED_REP",
     sys.env.getOrElse("SPARK_GRAFT_SCALING_REP", "16")).toInt
+  private val halfRep = math.max(1, seedRep / 2)
 
-  /** One full crawl+extract run over pre-built inputs; fixture
-    * bucketing/caching happens OUTSIDE the timed window (a deployment
-    * reads an already-bucketed table). Returns (urls processed, sec). */
   /** Tasks per core for the crawl's data partitions. 1 task/core makes
     * every straggler (GC pause, skewed partition, OS jitter on a pinned
     * core) extend the wall clock 1:1; 2-4 tasks/core is the standard
@@ -124,6 +160,9 @@ object Bench {
     acc.get()
   }
 
+  /** One full crawl+extract run over pre-built inputs; fixture
+    * bucketing/caching happens OUTSIDE the timed window (a deployment
+    * reads an already-bucketed table). Returns (urls, totalSec, waveSec). */
   def crawlRunOn(spark: SparkSession, pagesIn: DataFrame, seedsIn: DataFrame,
       rep: Int = seedRep): (Long, Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-").toString
@@ -213,6 +252,7 @@ object Bench {
   private val headline = Seq(
     "w_politeness_schedule", "w_crawl_order", "j_dedup_first_seen",
     "url_features", "extract_features_full", "byte_identity", "net_features",
+    "html_features",
     "tok_terms", "tfidf_micro", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "ann_brute_topk", "ann_lsh_topk",
     "lang_id", "quality", "token_counts", "fingerprints",
@@ -233,25 +273,17 @@ object Bench {
     import scala.concurrent.ExecutionContext.Implicits.global
 
     // ---------------------------------------------- shared run state
-    // Phase order (round 3): fixtures -> SCALING GATE -> headline fork
-    // -> scale-config fork -> queries -> leftover-budget gate top-up +
-    // headline retry. The gate legs run FIRST because they are the one
-    // pass/fail metric and the freshest part of the budget window is
-    // the least likely to have accumulated host noise (writeback, page
-    // cache pressure, co-tenant drift); queries are per-operator
-    // timings that tolerate noise. Every phase fills shared state and
-    // prints a cumulative parseable line, so an external kill anywhere
-    // leaves the best evidence so far.
     val qTimes = scala.collection.mutable.LinkedHashMap[String, Double](
       headline.filter(SparkEntry.queries.contains).map(_ -> 0.0): _*)
     var urls = 0L
     var crawlSec = Double.NaN
+    var headlineLeg: Option[Leg] = None
     var headlineRuns = 0
     // EVERY headline sample, kept or not (headline_secs): the kept one
     // is a min statistic, so consumers need the discarded samples to
     // quantify the selection effect
     val headlineSecs = scala.collection.mutable.ArrayBuffer[Double]()
-    var scaleCfg: Option[(Long, Double, Double)] = None
+    var scaleCfg: Option[Leg] = None
 
     // guard non-finite doubles: a failed fork yields NaN seconds and a
     // zero-second leg makes urls/sec Infinity — either would render the
@@ -266,8 +298,8 @@ object Bench {
       val qTotal = qTimes.valuesIterator.map(_.max(0.0)).sum
       val total = qTotal + (if (crawlSec.isNaN) 0.0 else crawlSec)
       val hs = headlineSecs.map(j).mkString("[", ",", "]")
-      val sc = scaleCfg.map { case (u, t, _) =>
-        s""","scale_config_urls":$u,"scale_config_sec":${j(t)},"scale_config_urls_per_sec":${j(u / t)}"""
+      val sc = scaleCfg.map { l =>
+        s""","scale_config_urls":${l.urls},"scale_config_sec":${j(l.sec)},"scale_config_urls_per_sec":${j(l.urls / l.sec)}"""
       }.getOrElse("")
       s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":${j(crawlSec)},"throughput_urls_per_sec":${j(urls / crawlSec)},"headline_runs":$headlineRuns,"headline_secs":$hs$sc$scaling}"""
     }
@@ -312,9 +344,11 @@ object Bench {
       * in-session headline measured 27.2 → 47.2 → 127.5 → 174.3 s across
       * replicates of the identical crawl while same-run fresh forks held
       * near-record — the warm-session number tracks JVM/host history,
-      * not the engine. */
-    def runAtForked(cpus: Int, dataParts: Int, fix: String,
-        extraEnv: Map[String, String]): (Long, Double, Double) = {
+      * not the engine. `rep` < seedRep runs the deterministically
+      * FILTERED fixture subset (BenchOne's SPARK_GRAFT_FIX_FILTER_*) —
+      * the budget-fallback workload. */
+    def runAtForked(cpus: Int, dataParts: Int, fix: String, rep: Int,
+        extraEnv: Map[String, String], floor: Double): Leg = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -344,16 +378,26 @@ object Bench {
       val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
         s"-Xmx$mem", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchOne", sfDir, cpus.toString, seedRep.toString, fix)
+        "graft.BenchOne", sfDir, cpus.toString, rep.toString, fix)
       val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
       // both levels of a window run the SAME data layout, sized for
       // the window's larger level (see fixedParts doc)
       pb.environment().put("SPARK_GRAFT_CRAWL_PARTS", dataParts.toString)
+      if (rep < seedRep) {
+        // budget-fallback workload: the same fixture dir filtered to
+        // rep of its seedRep replicas (deterministic residue filter —
+        // see BenchOne); wave count stays constant, wave size halves
+        pb.environment().put("SPARK_GRAFT_FIX_FILTER_MOD", seedRep.toString)
+        pb.environment().put("SPARK_GRAFT_FIX_FILTER_KEEP", rep.toString)
+      }
       extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       val proc = pb.start()
       // drain concurrently (a full pipe would deadlock the child)
       val outF = Future(new String(proc.getInputStream.readAllBytes()))
-      val capSec = math.min(remaining - 15.0, 480.0).max(30.0)
+      // the kill-cap respects the floor: a leg that overruns is killed
+      // BEFORE it can eat the budget reserved for later phases (losing
+      // one leg beats losing the query section — round-3 verdict #1)
+      val capSec = math.min(remaining - floor - 15.0, 480.0).max(30.0)
       val done = proc.waitFor(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
       // bounded post-kill wait + guarded drain: a child stuck in
       // uninterruptible I/O (or a pipe that never reaches EOF) must
@@ -367,12 +411,13 @@ object Bench {
         catch { case _: Throwable => "" }
       out.linesIterator.find(_.startsWith("RESULT ")) match {
         case Some(l) =>
-          val parts = l.split(" ")
-          (parts(1).toLong, parts(2).toDouble,
-            if (parts.length > 3) parts(3).toDouble else Double.NaN)
+          val p = l.split(" ")
+          def d(i: Int): Double = if (p.length > i) p(i).toDouble else Double.NaN
+          Leg(p(1).toLong, d(2), d(3), d(4),
+            if (p.length > 5) p(5).toLong else 0L, d(6), rep)
         case None =>
           System.err.println(s"[bench] BenchOne at $cpus cores ${if (done) "failed" else "timed out"}:\n${out.takeRight(2000)}")
-          (0L, Double.NaN, Double.NaN)
+          failedLeg(rep)
       }
     }
 
@@ -381,9 +426,9 @@ object Bench {
       * AFTER the budget — pure overshoot, no usable measurement.
       * `floor` is the budget reserved for LATER phases. */
     def runAt(cpus: Int, dataParts: Int, fix: String, floor: Double = 0.0,
-        extraEnv: Map[String, String] = Map.empty): (Long, Double, Double) =
-      if (remaining - floor < 60) (0L, Double.NaN, Double.NaN)
-      else runAtForked(cpus, dataParts, fix, extraEnv)
+        rep: Int = seedRep, extraEnv: Map[String, String] = Map.empty): Leg =
+      if (remaining - floor < 60) failedLeg(rep)
+      else runAtForked(cpus, dataParts, fix, rep, extraEnv, floor)
 
     // -------------------------------------------- scaling machinery
     // PAIRWISE efficiency: this host's effective speed for the crawl's
@@ -395,9 +440,12 @@ object Bench {
     // regime, so (tN/t4N)/4 per PAIR is the honest scaling unit;
     // per-level bests across pairs can mix regimes and skew the ratio
     // either way (kept as level_best_* fields).
-    val best = scala.collection.mutable.Map[Int, (Long, Double, Double)]()
-    val pairsOf = scala.collection.mutable
-      .Map[Int, List[((Long, Double, Double), (Long, Double, Double))]]()
+    val best = scala.collection.mutable.Map[Int, Leg]()
+    val pairsOf = scala.collection.mutable.Map[Int, List[(Leg, Leg)]]()
+    // pair attempts per window, counted at pair START (not completion):
+    // leg-order alternation derives from it, so a dropped pair (NaN
+    // leg) does not repeat the same order on retry (round-3 ADVICE)
+    val attemptsOf = scala.collection.mutable.Map[Int, Int]()
     // platform compute-ceiling probe per pair, index-aligned with
     // pairsOf(w): graft.ExtractProbe forked onto the SAME pinned cores
     // as the pair's larger leg runs the pure per-URL pipeline (no
@@ -437,35 +485,36 @@ object Bench {
         rx.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(Double.NaN)
       } catch { case _: Exception => Double.NaN }
     }
-    def better(a: (Long, Double, Double), b: (Long, Double, Double)): (Long, Double, Double) =
-      if (b._2.isNaN || (!a._2.isNaN && a._2 <= b._2)) a else b
-    def measure(c: Int, dataParts: Int, fix: String, floor: Double): (Long, Double, Double) = {
-      val r = runAt(c, dataParts, fix, floor)
+    def better(a: Leg, b: Leg): Leg =
+      if (b.failed || (!a.failed && a.sec <= b.sec)) a else b
+    def measure(c: Int, dataParts: Int, fix: String, floor: Double, rep: Int): Leg = {
+      val r = runAt(c, dataParts, fix, floor, rep)
       best(c) = best.get(c).map(better(_, r)).getOrElse(r)
       r
     }
-    def measurePair(w: Int, fix: String, floor: Double): Unit = {
+    def measurePair(w: Int, fix: String, floor: Double, rep: Int): Unit = {
       val wParts = partsPerCore * 4 * w
       // leg order ALTERNATES per pair: a fixed N→4N order under
       // monotone host slowdown always measures the 4N leg in the
       // later (slower) part of the pair's window — a one-directional
       // bias on the ratio (and the reverse under speed-up). Alternating
       // cancels the systematic component; the plausibility cap and the
-      // reported median still guard the stochastic part.
-      val fourFirst = pairsOf.getOrElse(w, Nil).size % 2 == 1
+      // reported median still guard the stochastic part. Parity comes
+      // from ATTEMPTED pairs, so a dropped pair's retry flips order.
+      val fourFirst = attemptsOf.getOrElse(w, 0) % 2 == 1
+      attemptsOf(w) = attemptsOf.getOrElse(w, 0) + 1
       val (rN, r4) =
-        if (fourFirst) { val b = measure(4 * w, wParts, fix, floor)
-          (measure(w, wParts, fix, floor), b) }
-        else { val a = measure(w, wParts, fix, floor)
-          (a, measure(4 * w, wParts, fix, floor)) }
-      if (!rN._2.isNaN && !r4._2.isNaN) {
+        if (fourFirst) { val b = measure(4 * w, wParts, fix, floor, rep)
+          (measure(w, wParts, fix, floor, rep), b) }
+        else { val a = measure(w, wParts, fix, floor, rep)
+          (a, measure(4 * w, wParts, fix, floor, rep)) }
+      if (!rN.failed && !r4.failed) {
         pairsOf(w) = pairsOf.getOrElse(w, Nil) :+ ((rN, r4))
         // ~12 s: the pair's platform reference, same regime, same cores
         probesOf(w) = probesOf.getOrElse(w, Nil) :+ platformProbe(w)
       }
     }
-    def pairEff(p: ((Long, Double, Double), (Long, Double, Double))): Double =
-      (p._1._2 / p._2._2) / 4.0
+    def pairEff(p: (Leg, Leg)): Double = (p._1.sec / p._2.sec) / 4.0
     // a pair whose quotient exceeds ~1 is not evidence of super-linear
     // scaling — it is the pairwise protocol's failure mode in REVERSE
     // (the N leg caught a deep-noise window and the 4N leg a fast one;
@@ -477,10 +526,10 @@ object Bench {
     // the REPORTED number for a window with only implausible pairs is
     // the pair nearest 1.0, not the most extreme artifact.
     def plausible(e: Double): Boolean = e <= 1.05
-    def plausibleBest(w: Int): Option[((Long, Double, Double), (Long, Double, Double))] =
+    def plausibleBest(w: Int): Option[(Leg, Leg)] =
       pairsOf.getOrElse(w, Nil).filter(p => plausible(pairEff(p)))
         .sortBy(-pairEff(_)).headOption
-    def bestPair(w: Int): Option[((Long, Double, Double), (Long, Double, Double))] =
+    def bestPair(w: Int): Option[(Leg, Leg)] =
       plausibleBest(w).orElse(
         pairsOf.getOrElse(w, Nil).sortBy(p => math.abs(pairEff(p) - 1.0)).headOption)
     def effSel(w: Int): Double =
@@ -500,24 +549,39 @@ object Bench {
     def gate: Int = windows.maxBy(effSel)
     def other: Seq[Int] = windows.filterNot(_ == gate)
     def levelBestJson(w: Int): String =
-      (for { (_, tA, _) <- best.get(w); (_, tB, _) <- best.get(4 * w) }
-        yield s""","level_best_n_sec":${j(tA)},"level_best_n4_sec":${j(tB)},"level_best_efficiency":${j((tA / tB) / 4.0)}""")
+      (for { a <- best.get(w); b <- best.get(4 * w) }
+        yield s""","level_best_n_sec":${j(a.sec)},"level_best_n4_sec":${j(b.sec)},"level_best_efficiency":${j((a.sec / b.sec) / 4.0)}""")
         .getOrElse("")
     def altJson(w: Int): String =
-      bestPair(w).map { case ((uA, tA, _), (uB, tB, _)) =>
-        s""","alt_n_cores":$w,"alt_n_sec":${j(tA)},"alt_n_urls_per_sec":${j(uA / tA)},"alt_n4_cores":${4 * w},"alt_n4_sec":${j(tB)},"alt_n4_urls_per_sec":${j(uB / tB)},"alt_efficiency_n_to_4n":${j((tA / tB) / 4.0)}"""
+      bestPair(w).map { case (a, b) =>
+        s""","alt_n_cores":$w,"alt_n_sec":${j(a.sec)},"alt_n_urls_per_sec":${j(a.urls / a.sec)},"alt_n4_cores":${4 * w},"alt_n4_sec":${j(b.sec)},"alt_n4_urls_per_sec":${j(b.urls / b.sec)},"alt_efficiency_n_to_4n":${j((a.sec / b.sec) / 4.0)}"""
       }.getOrElse("")
+    // per-leg diagnostics of every completed pair (round-3 verdict #3:
+    // a poisoned leg — GC storm, spill, scheduler idle — must be
+    // attributable from the artifact, not replicate-log archaeology),
+    // index-aligned with pair_efficiencies
+    def diagJson(w: Int): String = {
+      def one(p: (Leg, Leg)): String = {
+        val (a, b) = p
+        s"""{"rep":${a.rep},"n_sec":${j(a.sec)},"n_init_sec":${j(a.initSec)},"n_gc_sec":${j(a.gcSec)},"n_spill_bytes":${a.spillBytes},"n_task_sec":${j(a.taskSec)},"n4_sec":${j(b.sec)},"n4_init_sec":${j(b.initSec)},"n4_gc_sec":${j(b.gcSec)},"n4_spill_bytes":${b.spillBytes},"n4_task_sec":${j(b.taskSec)}}"""
+      }
+      pairsOf.getOrElse(w, Nil).map(one).mkString("[", ",", "]")
+    }
     // session32_*: the forked, pinned headline crawl at local[cpus]
     // over the same fixtures — the full-parallelism point of the
-    // curve, same protocol as the gate legs
+    // curve, same protocol as the gate legs (+ its own diagnostics)
+    def headlineJson: String = headlineLeg.map { l =>
+      s""","session32_wave_sec":${j(l.waveSec)},"session32_gc_sec":${j(l.gcSec)},"session32_spill_bytes":${l.spillBytes},"session32_task_sec":${j(l.taskSec)}"""
+    }.getOrElse("")
     def gateJson: String = {
       if (pairsOf.valuesIterator.forall(_.isEmpty)) ""
       else {
         val w = gate
         val runs = pairsOf.getOrElse(w, Nil).size
-        val ((uN, tN, wN), (u4, t4, w4)) = bestPair(w).getOrElse(
-          ((0L, Double.NaN, Double.NaN), (0L, Double.NaN, Double.NaN)))
+        val (lN, l4) = bestPair(w).getOrElse((failedLeg(seedRep), failedLeg(seedRep)))
         val pairEffs = pairsOf.getOrElse(w, Nil).map(p => j(pairEff(p)))
+          .mkString("[", ",", "]")
+        val pairReps = pairsOf.getOrElse(w, Nil).map(_._1.rep)
           .mkString("[", ",", "]")
         // the probe aligned with the REPORTED pair: the platform's
         // pure-compute w→4w ceiling measured in that pair's regime
@@ -531,27 +595,63 @@ object Bench {
         // representative number (plan cost amortizes to ~0 at 10^10
         // URLs; at sandbox scale it is ~30% of the run and scales
         // worse than the waves, see BASELINE.md round 3)
-        val ssEffs = pairsOf.getOrElse(w, Nil).map(p => (p._1._3 / p._2._3) / 4.0)
-        val ssJson = s""","steady_state_n_sec":${j(wN)},"steady_state_n4_sec":${j(w4)},"steady_state_efficiency_n_to_4n":${j((wN / w4) / 4.0)},"steady_state_pair_efficiencies":${ssEffs.map(j).mkString("[", ",", "]")}"""
-        s""","scaling":{"rep":$seedRep,"runs_per_level":$runs,"urls":$uN,"n_cores":$w,"n_sec":${j(tN)},"n_urls_per_sec":${j(uN / tN)},"n4_cores":${4 * w},"n4_sec":${j(t4)},"n4_urls_per_sec":${j(u4 / t4)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"pair_efficiencies":$pairEffs$probeJson$ssJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}}"""
+        val ssEffs = pairsOf.getOrElse(w, Nil).map(p => (p._1.waveSec / p._2.waveSec) / 4.0)
+        val ssJson = s""","steady_state_n_sec":${j(lN.waveSec)},"steady_state_n4_sec":${j(l4.waveSec)},"steady_state_efficiency_n_to_4n":${j((lN.waveSec / l4.waveSec) / 4.0)},"steady_state_pair_efficiencies":${ssEffs.map(j).mkString("[", ",", "]")}"""
+        s""","scaling":{"rep":${lN.rep},"runs_per_level":$runs,"urls":${lN.urls},"n_cores":$w,"n_sec":${j(lN.sec)},"n_urls_per_sec":${j(lN.urls / lN.sec)},"n4_cores":${4 * w},"n4_sec":${j(l4.sec)},"n4_urls_per_sec":${j(l4.urls / l4.sec)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"pair_efficiencies":$pairEffs,"pair_reps":$pairReps,"leg_diag":${diagJson(w)}$probeJson$ssJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}$headlineJson}"""
       }
     }
     // a clear = a pair that is BOTH >= 0.80 and plausible
     def cleared: Boolean = effSel(gate) >= 0.80
-    def pairCost: Double =
-      bestPair(gate).map { case ((_, tN, _), (_, t4, _)) => (tN + t4) * 1.1 + 75 }
-        .getOrElse(300.0)
+    /** Estimated wall cost of one pair at `rep` (legs + probe + fork
+      * overhead), scaled from the best measured pair of any rep; the
+      * prior before any pair assumes quiet-band full-rep legs. */
+    def pairCostFor(rep: Int): Double =
+      bestPair(gate).map { case (a, b) =>
+        (a.sec + b.sec) * (rep.toDouble / a.rep) * 1.1 + 75 }
+        .getOrElse(235.0 * rep / seedRep + 75)
+    /** Largest affordable rep for the next gate pair given `floor`
+      * (the budget later phases still need), or 0 for none. Full rep
+      * is the protocol number; half rep is the round-4 fallback that
+      * keeps pairs flowing when the window is slow. */
+    def affordableRep(floor: Double): Int =
+      if (remaining - floor > pairCostFor(seedRep)) seedRep
+      else if (halfRep < seedRep && remaining - floor > pairCostFor(halfRep)) halfRep
+      else 0
 
-    // budget reserved ahead of the gate for the later phases: the
-    // forked headline crawl (~40-160 s incl. fork warmup), the
-    // scale-config fork (skippable under pressure) and the query
-    // section (~175-220 s at sf0.1 incl. session setup)
-    val postReserve =
-      sys.env.getOrElse("SPARK_GRAFT_POST_RESERVE_SEC", "400").toDouble
+    // budget the query section needs (measured 70–110 s of queries +
+    // ~40 s session setup/warmup at sf0.1, ~2× under host noise). The
+    // gate phase treats this as a hard floor; phase 4 itself reserves
+    // only final-line slack — queries run unconditionally.
+    val queryReserve =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC",
+        sys.env.getOrElse("SPARK_GRAFT_POST_RESERVE_SEC", "220")).toDouble
+    // hard cap on the gate phase's share of the budget: gate repeats
+    // are insurance, and round 3 proved unbounded insurance can starve
+    // every other deliverable out of the artifact
+    val gateFraction =
+      sys.env.getOrElse("SPARK_GRAFT_GATE_FRACTION", "0.55").toDouble
 
-    // --------------------------------------- phase 1: SCALING GATE
+    // ------------------------ phase 1: HEADLINE crawl (forked, FIRST)
+    // the north-metric crawl at full parallelism over the fixtures.
+    // Unconditional (modulo a 60 s sanity floor inside runAt): round 3
+    // sacrificed it to gate insurance and recorded crawl_urls = 0.
+    fixDir.foreach { d =>
+      syncFs()
+      val r = runAt(cpus, cpus * partsPerCore, d, floor = queryReserve)
+      if (!r.failed) {
+        urls = r.urls; crawlSec = r.sec
+        headlineLeg = Some(r)
+        headlineRuns = 1; headlineSecs += r.sec
+      }
+      println(line(gateJson))
+    }
+
+    // --------------------------------------- phase 2: SCALING GATE
     if (scalingOn && fixDir.isDefined) {
       val fix = fixDir.get
+      val gateStart = elapsed
+      val gateCap = budget * gateFraction
+      def gateSpent: Double = elapsed - gateStart
       syncFs()
       // probe pass: one interleaved pair per candidate window, a
       // cumulative parseable line after each. The SECOND window's probe
@@ -564,62 +664,55 @@ object Bench {
       // measured 0.343)
       var probed = 0
       for (w <- windows) {
-        if (probed == 0 || cleared ||
-            remaining - postReserve > pairCost * 2.2) {
-          measurePair(w, fix, postReserve)
+        val rep = affordableRep(queryReserve)
+        if (rep > 0 && (probed == 0 || cleared ||
+            remaining - queryReserve > pairCostFor(rep) * 2.2)) {
+          measurePair(w, fix, queryReserve, rep)
           probed += 1
           println(line(gateJson))
         }
       }
       // repeat pass on the measured-better window while the unreserved
-      // budget allows (best plausible pair wins): repeats are what make
-      // the gate metric robust to host noise. Stop once a pair clears
-      // the 0.8 design target; else keep pairing (cap 6 per window
-      // here, +2 in the post-query top-up): drift regimes turn over on
-      // tens of minutes, so a later pair can land both legs in one
-      // regime where earlier pairs straddled a boundary
+      // budget and the gate-phase cap allow (best plausible pair wins):
+      // repeats are what make the gate metric robust to host noise.
+      // Stop once a pair clears the 0.8 design target; else keep
+      // pairing (cap 6 per window here, +2 in the post-query top-up):
+      // drift regimes turn over on tens of minutes, so a later pair
+      // can land both legs in one regime where earlier pairs straddled
+      // a boundary. When a full-rep pair no longer fits, fall back to
+      // half-rep pairs instead of stopping (or starving the queries).
+      var rep = affordableRep(queryReserve)
       while (pairsOf.getOrElse(gate, Nil).size < 6 && !cleared &&
-          remaining - postReserve > pairCost) {
-        measurePair(gate, fix, postReserve)
+          gateSpent < gateCap && rep > 0) {
+        measurePair(gate, fix, queryReserve, rep)
         println(line(gateJson))
+        rep = affordableRep(queryReserve)
       }
-    }
-
-    // ------------------------------ phase 2: headline crawl (forked)
-    // the north-metric crawl, forked + pinned at full parallelism over
-    // the same fixtures the gate legs read
-    fixDir match {
-      case Some(d) =>
-        syncFs()
-        val r = runAt(cpus, cpus * partsPerCore, d, floor = 240.0)
-        if (!r._2.isNaN) {
-          urls = r._1; crawlSec = r._2
-          headlineRuns = 1; headlineSecs += r._2
-        }
-        println(line(gateJson))
-      case None =>
-        // no fixtures (scaling off): queries first (legacy order), then
-        // an in-session crawl after cache hygiene
-        ()
     }
 
     // ------------------------------ phase 3: scale-config fork
     // one full-parallelism crawl with the scale-path feature set ON
     // (two-phase rank, cuckoo filter, eager compaction): the flags are
     // fuzz-tested equivalent in CrawlSpec; this records their measured
-    // throughput next to the default config's headline
-    if (fixDir.isDefined && remaining > 240.0 + 160.0 && !crawlSec.isNaN) {
+    // throughput next to the default config's headline. The query
+    // reserve stays protected; a skipped fork is retried in phase 5.
+    if (fixDir.isDefined && !crawlSec.isNaN &&
+        remaining - queryReserve > crawlSec * 1.3 + 60) {
       syncFs()
-      val r = runAt(cpus, cpus * partsPerCore, fixDir.get, floor = 240.0,
+      val r = runAt(cpus, cpus * partsPerCore, fixDir.get, floor = queryReserve,
         extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
-      if (!r._2.isNaN) scaleCfg = Some(r)
+      if (!r.failed) scaleCfg = Some(r)
       println(line(gateJson))
     }
 
     // ------------------------------ phase 4: headline queries
-    // each in a cancellable job group with a hard per-query timeout; a
-    // timed-out/failed query records NEGATIVE time (distinguishable,
-    // never poisons the rest of the run)
+    // UNCONDITIONAL (round-3 verdict #1): the only reserve is
+    // final-line slack — no speculative top-up pair is withheld here
+    // (round 3 reserved ~594 s for a top-up that could never fire and
+    // recorded every query as 0.0). Each query runs in a cancellable
+    // job group with a hard per-query timeout; a timed-out/failed
+    // query records NEGATIVE time (distinguishable, never poisons the
+    // rest of the run).
     locally {
       val spark = session(cpus)
       try {
@@ -629,14 +722,7 @@ object Bench {
         // folded into whichever query runs first
         try SparkEntry.queries("token_counts")(spark, sfDir).count()
         catch { case _: Throwable => () }
-        // reserve: the final-line slack, plus one top-up gate pair when
-        // the gate is still short (phase 5)
-        // must cover phase 5's top-up guard (pairCost + 75) EXACTLY,
-        // plus the final-line slack: a reserve of pairCost + 15 left
-        // the top-up 60 s short after queries — observed on replicate
-        // 38, where a 0.566 drift-straddle first pair got no second
-        // chance because the queries ate into the guard's margin
-        def reserve: Double = 20.0 + (if (!cleared && scalingOn) pairCost + 75 else 0.0)
+        val reserve = 20.0
         // groups of queries that timed out while still in driver-side
         // planning (no active job yet → the one-shot cancel was a
         // no-op): re-cancel them before every later timed query so
@@ -692,28 +778,35 @@ object Bench {
     // ---------------- phase 5: leftover budget — gate top-up, retry
     if (scalingOn && fixDir.isDefined) {
       val fix = fixDir.get
-      // top-up pairs: the queries are done, every remaining second can
-      // buy gate evidence (total cap 8 pairs on the gate window)
-      while (!cleared && pairsOf.getOrElse(gate, Nil).size < 8 &&
-          remaining > pairCost + 75) {
-        syncFs()
-        measurePair(gate, fix, 75.0)
-        println(line(gateJson))
+      // top-up pairs: the queries are done, leftover seconds buy gate
+      // evidence (total cap 8 pairs on the gate window). Deliverable
+      // priority: pairs up to TWO first (the minimum robust gate
+      // sample), then the scale-config fork (a reported deliverable —
+      // unbounded top-ups used to starve it on every non-clearing
+      // run), then the remaining top-ups, then the headline retry.
+      def topUps(maxPairs: Int): Unit = {
+        var rep = affordableRep(75.0)
+        while (!cleared && pairsOf.getOrElse(gate, Nil).size < maxPairs && rep > 0) {
+          syncFs()
+          measurePair(gate, fix, 75.0, rep)
+          println(line(gateJson))
+          rep = affordableRep(75.0)
+        }
       }
-      // scale-config catch-up: when the gate needed multiple pairs,
-      // phase 3's conservative pre-queries threshold skips the
-      // scale-feature fork — but it is a REPORTED DELIVERABLE
-      // (scale_config_urls_per_sec), so it outranks the headline retry
-      // for leftover budget. Cost model = the measured headline + fork
-      // overhead, same as the retry's.
+      topUps(2)
+      // scale-config catch-up: when the gate consumed phase 3's
+      // window, the scale-feature fork is still a REPORTED DELIVERABLE
+      // (scale_config_urls_per_sec). Cost model = the measured
+      // headline + fork overhead, same as the retry's.
       val cost = if (crawlSec.isNaN) 300.0 else crawlSec * 1.3 + 60
       if (scaleCfg.isEmpty && !crawlSec.isNaN && remaining > cost + 30) {
         syncFs()
         val r = runAt(cpus, cpus * partsPerCore, fix,
           extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
-        if (!r._2.isNaN) scaleCfg = Some(r)
+        if (!r.failed) scaleCfg = Some(r)
         println(line(gateJson))
       }
+      topUps(8)
       // headline retry: the full-parallelism point is a SINGLE fork, so
       // one noise spike mis-states the round's throughput number. When
       // budget remains, take a second sample and keep the better;
@@ -722,10 +815,12 @@ object Bench {
       if (remaining > cost + 30) {
         syncFs()
         val r2 = runAt(cpus, cpus * partsPerCore, fix)
-        if (!r2._2.isNaN) {
+        if (!r2.failed) {
           headlineRuns += 1
-          headlineSecs += r2._2
-          if (crawlSec.isNaN || r2._2 < crawlSec) { urls = r2._1; crawlSec = r2._2 }
+          headlineSecs += r2.sec
+          if (crawlSec.isNaN || r2.sec < crawlSec) {
+            urls = r2.urls; crawlSec = r2.sec; headlineLeg = Some(r2)
+          }
         }
       }
     }

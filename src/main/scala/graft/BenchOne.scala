@@ -1,15 +1,31 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One isolated crawl measurement (forked by [[Bench]] for the scaling
   * section so each parallelism level gets a fresh JVM — sequential
   * sessions in one JVM showed progressive degradation that contaminates
   * the comparison). An optional 4th arg points at a pre-materialized
   * fixture dir (`pages`/`seeds` parquet written once by the parent) so
-  * forks skip fixture synthesis. Prints one line:
-  * `RESULT <urls> <totalSec> <waveSec>` (waveSec = post-init steady
-  * state, see Bench.crawlRunOn). */
+  * forks skip fixture synthesis.
+  *
+  * SPARK_GRAFT_FIX_FILTER_MOD/_KEEP (set by Bench's half-rep budget
+  * fallback) deterministically filter the fixture to `keep` of its
+  * `mod` seed replicas: seeds by `seq % mod < keep` (the replicated
+  * seq space is `o_orderkey * mod + i`, so the residue IS the replica
+  * index), pages by the same residue parsed from the URL's `/p/<seq>`
+  * path (dup-class URLs — a fixed 100-URL set independent of rep —
+  * are kept whole so the filtered run's fetch-hit mix matches a real
+  * `rep = keep` fixture). The filter runs in the UNTIMED
+  * bucketing/caching step.
+  *
+  * Prints one line:
+  * `RESULT <urls> <totalSec> <waveSec> <gcSec> <spillBytes> <taskSec>`
+  * (waveSec = post-init steady state, see Bench.crawlRunOn; gcSec =
+  * JVM GC-wall delta across the timed run; spillBytes = shuffle
+  * memory+disk spill; taskSec = summed executor task time — the
+  * round-3 verdict's leg diagnostics: a pathological leg must be
+  * attributable from the artifact alone). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -55,12 +71,52 @@ object BenchOne {
     // the tiny crawl above warms Spark's machinery but not the hot
     // loops' invocation counts (see Bench.warmExtract)
     Bench.warmExtract(threads = cpus)
+
+    // leg-diagnostic accumulators, registered AFTER the warmups so
+    // they count the timed run only (listener events are async; the
+    // bounded post-run sleep lets the tail drain — diagnostics, not
+    // accounting, so a straggler event costs precision, not truth)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          taskMs.addAndGet(m.executorRunTime)
+        }
+      }
+    })
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    val gc0 = gcMs
+
     val (urls, sec, waveSec) = fixtureDir match {
-      case Some(d) => Bench.crawlRunOn(spark,
-        spark.read.parquet(s"$d/pages"), spark.read.parquet(s"$d/seeds"), rep)
+      case Some(d) =>
+        import org.apache.spark.sql.functions.expr
+        def filtered(df: DataFrame, cond: String): DataFrame =
+          (for {
+            mod <- sys.env.get("SPARK_GRAFT_FIX_FILTER_MOD")
+            keep <- sys.env.get("SPARK_GRAFT_FIX_FILTER_KEEP")
+          } yield df.where(expr(cond
+            .replace("{mod}", mod).replace("{keep}", keep))))
+            .getOrElse(df)
+        val pages = filtered(spark.read.parquet(s"$d/pages"),
+          // try_cast: defensive against URLs without a /p/<digits> path
+          // (none exist in the synthesized space beyond the dup class)
+          "url LIKE '%dup.example.com%' OR " +
+            "coalesce(try_cast(regexp_extract(url, '/p/([0-9]+)', 1) AS BIGINT), 0) % {mod} < {keep}")
+        val seeds = filtered(spark.read.parquet(s"$d/seeds"),
+          "seq % {mod} < {keep}")
+        Bench.crawlRunOn(spark, pages, seeds, rep)
       case None => Bench.crawlRun(spark, sfDir, rep)
     }
-    println(s"RESULT $urls $sec $waveSec")
+    Thread.sleep(300) // drain the async listener tail
+    val gcSec = (gcMs - gc0) / 1000.0
+    println(s"RESULT $urls $sec $waveSec $gcSec ${spillBytes.get} ${taskMs.get / 1000.0}")
     spark.stop()
   }
 }

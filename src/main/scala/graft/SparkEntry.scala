@@ -781,6 +781,130 @@ object SparkEntry {
            |  cast(CASE WHEN p26 = 0 THEN 3 ELSE 0 END as int) AS cycling_lines
            |FROM f""".stripMargin)))),
 
+    // ---------------- HTML block features (§2.6 A1-A7/A9) — the last
+    // previously-spec-only legs behind extract_features_full's
+    // no_oracle row: per-URL scalar columns through the REAL parse
+    // path (golden text → Blocks.splitText → buildState + __add__
+    // absorb → the extractors5 rate functions), oracled by an
+    // independent DuckDB replica that re-derives every tag count, row
+    // count and striped byte length CLOSED-FORM from the NetSynth
+    // body-construction rules — the same urlSeed/md5 branch replica
+    // that made net_features oracle-able (each <a>/<img>/<script>/
+    // <style>/<form> row of the synthesized body is a deterministic
+    // function of the URL; see NetSynth.forUrlImpl and the length
+    // constants below). Redirect-history pages carry 2-3 identical
+    // HTTP blocks (SampleRender re-walk quirk), so the A9 multi-block
+    // merge monoid is live in this oracle, not just spec-tested.
+    // Reference semantics: extractors5/http_feature.py:304-452 (rate
+    // features), :157-184 (striped rows/bytes, tag-block row counts),
+    // :532-549 (__add__ merge).
+    "html_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Fixtures.pages(s, dir)
+          .filter((p: graft.model.PageRow) => p.text != null)
+          .map { p =>
+            val bd = graft.parse.Blocks.splitText(p.text)
+            val http = bd.blocks.getOrElse("http", Vector.empty)
+            import graft.features.HttpFeatures._
+            val st = http.map(buildState).reduce((prev, cur) => cur.absorb(prev))
+            val pageDomain = Canonicalize.extractorDomain(graft.py.Py.rstrip(p.url))
+            def micro(x: Double): Long = math.rint(x * 1e6).toLong
+            (p.url, st.bytes.toLong, st.totalRows, st.scriptBlockRows,
+              st.styleBlockRows, st.aTags.size,
+              micro(externalATagSameDomain(st, pageDomain)),
+              micro(nullATag(st)),
+              micro(if (st.totalRows > 0) st.scriptBlockRows.toDouble / st.totalRows else 0.0),
+              micro(if (st.totalRows > 0) st.styleBlockRows.toDouble / st.totalRows else 0.0),
+              micro(sameExternalDomainLinkRate(st, pageDomain)),
+              micro(sameExternalDomainImgRate(st, pageDomain)),
+              micro(sameExternDomainScriptRate(st, pageDomain)))
+          }.toDF("url", "striped_bytes", "total_rows", "script_rows",
+            "style_rows", "a_tags", "ext_a_micro", "null_a_micro",
+            "script_block_rate_micro", "style_block_rate_micro",
+            "link_rate_micro", "img_rate_micro", "script_rate_micro")
+      },
+      Some(Synth.duck(withSeeds(
+        // Closed-form replica of the synthesized body's striped-row
+        // accounting (NetSynth.forUrlImpl:178-218). Per live URL:
+        //  - 15 constant rows (html/head, title, css link, 4 style
+        //    rows, head/body, 2 imgs, script src, script open,
+        //    `var t = 1;`, script close, body/html close — the
+        //    comment-only row is DROPPED by __striped_html_str);
+        //  - optional rows by urlSeed branch: meta refresh (h%11=0,
+        //    69 ch), base64 refresh (h%31=0, 75 ch), iframe (h%7=0,
+        //    52 ch), form block + its getElementById script row
+        //    (h%5=0, 6 rows, 202+dlen ch), document.write row
+        //    (h%6=0, 34 ch);
+        //  - 2+md5%4 <a> rows (21+href chars: kind 0 same-domain
+        //    18+dlen — ALWAYS internal, crawler vs extractor
+        //    canonicalizers agree on every synthesized URL shape;
+        //    kind 1 external ext{0..6}.example.org 26; kind 2
+        //    relative 11; kind 3 '#' 1; kind 4 javascript 19; kinds
+        //    2-4 canonicalize to '.', kinds 3-4 are the null hrefs);
+        //  - constant char sum 338+dlen, +rows-1 joining newlines;
+        //  - the whole block ×1/2/3 for the redirect-history HTTP
+        //    block multiplicity (h%26=0 → cycle → 3, h%13=0 → 2).
+        s"""$fetchableCte,
+           |u AS (SELECT DISTINCT url FROM fetchable WHERE NOT ${NetSynth.fetchMissSql("url")}),
+           |${NetSynth.urlSeedCtesSql},
+           |hb AS (SELECT url, h, ${NetSynth.floorModSql("h", 100)} AS hm FROM hseed),
+           |c0 AS (SELECT url FROM hb WHERE ${NetSynth.liveSql("hm")}),
+           |k0 AS (SELECT url, substr(url, instr(url, '//') + 2) AS d0 FROM c0),
+           |k1 AS (SELECT url, CASE WHEN instr(d0, '/') > 0 THEN substr(d0, 1, instr(d0, '/') - 1)
+           |                        WHEN instr(d0, '?') > 0 THEN substr(d0, 1, instr(d0, '?') - 1)
+           |                        ELSE d0 END AS d1 FROM k0),
+           |k2 AS (SELECT url, CASE WHEN instr(d1, '@') > 0 THEN substr(d1, instr(d1, '@') + 1) ELSE d1 END AS d2 FROM k1),
+           |kd AS (SELECT url, CASE WHEN instr(d2, ':') > 0 THEN regexp_replace(d2, ':[^:]*$$', '') ELSE d2 END AS dom FROM k2),
+           |f AS (SELECT hb.url, length(kd.dom) AS dlen,
+           |  ${NetSynth.floorModSql("hb.h", 5)} AS p5, ${NetSynth.floorModSql("hb.h", 6)} AS p6,
+           |  ${NetSynth.floorModSql("hb.h", 7)} AS p7, ${NetSynth.floorModSql("hb.h", 11)} AS p11,
+           |  ${NetSynth.floorModSql("hb.h", 31)} AS p31, ${NetSynth.floorModSql("hb.h", 13)} AS p13,
+           |  ${NetSynth.floorModSql("hb.h", 26)} AS p26,
+           |  2 + ${NetSynth.linkCountSql("hb.url")} AS nlinks
+           |  FROM hb JOIN kd ON hb.url = kd.url WHERE ${NetSynth.liveSql("hb.hm")}),
+           |lk AS (SELECT f.url, f.dlen, t.i,
+           |         ${NetSynth.linkKindSql("f.url", "t.i")} AS kind,
+           |         ${NetSynth.linkExtSql("f.url", "t.i")} AS ext
+           |       FROM f CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) t
+           |       WHERE t.i < f.nlinks),
+           |la AS (SELECT url,
+           |         sum(21 + CASE kind WHEN 0 THEN 18 + dlen WHEN 1 THEN 26
+           |                            WHEN 2 THEN 11 WHEN 3 THEN 1 ELSE 19 END) AS link_bytes,
+           |         sum(CASE WHEN kind IN (3, 4) THEN 1 ELSE 0 END) AS nnull
+           |       FROM lk GROUP BY url),
+           |em AS (SELECT url, max(c) AS mx FROM (
+           |         SELECT url, ext, count(*) AS c FROM lk WHERE kind = 1 GROUP BY url, ext) q
+           |       GROUP BY url),
+           |g AS (SELECT f.url, f.nlinks, f.dlen,
+           |        CASE WHEN f.p26 = 0 THEN 3 WHEN f.p13 = 0 THEN 2 ELSE 1 END AS nb,
+           |        CASE WHEN f.p11 = 0 THEN 1 ELSE 0 END AS m11,
+           |        CASE WHEN f.p31 = 0 THEN 1 ELSE 0 END AS m31,
+           |        CASE WHEN f.p7 = 0 THEN 1 ELSE 0 END AS m7,
+           |        CASE WHEN f.p5 = 0 THEN 1 ELSE 0 END AS m5,
+           |        CASE WHEN f.p6 = 0 THEN 1 ELSE 0 END AS m6,
+           |        la.link_bytes, la.nnull, coalesce(em.mx, 0) AS mx
+           |      FROM f JOIN la ON f.url = la.url LEFT JOIN em ON f.url = em.url),
+           |t AS (SELECT url, nlinks, nb, mx, nnull,
+           |        15 + m11 + m31 + m7 + 6 * m5 + m6 + nlinks AS rows_b,
+           |        4 + m5 + m6 AS srows_b,
+           |        338 + dlen + 69 * m11 + 75 * m31 + 52 * m7 + (202 + dlen) * m5 + 34 * m6 + link_bytes AS len_b
+           |      FROM g)
+           |SELECT url,
+           |  cast(nb * (len_b + rows_b - 1) as bigint) AS striped_bytes,
+           |  cast(nb * rows_b as int) AS total_rows,
+           |  cast(nb * srows_b as int) AS script_rows,
+           |  cast(nb * 4 as int) AS style_rows,
+           |  cast(nb * nlinks as int) AS a_tags,
+           |  cast(round(CAST(nb * mx AS DOUBLE) / (nb * nlinks) * 1000000, 0) as bigint) AS ext_a_micro,
+           |  cast(round(CAST(nb * nnull AS DOUBLE) / (nb * nlinks) * 1000000, 0) as bigint) AS null_a_micro,
+           |  cast(round(CAST(nb * srows_b AS DOUBLE) / (nb * rows_b) * 1000000, 0) as bigint) AS script_block_rate_micro,
+           |  cast(round(CAST(nb * 4 AS DOUBLE) / (nb * rows_b) * 1000000, 0) as bigint) AS style_block_rate_micro,
+           |  cast(1000000 as bigint) AS link_rate_micro,
+           |  cast(500000 as bigint) AS img_rate_micro,
+           |  cast(500000 as bigint) AS script_rate_micro
+           |FROM t""".stripMargin)))),
+
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)
     "tok_terms" -> split2(sparkTokSql, duckTokSql),
 

@@ -1,0 +1,91 @@
+package graft
+
+import graft.features.HttpFeatures
+import graft.fixtures.{Fixtures, NetSynth}
+import graft.urls.Canonicalize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the `html_features` oracle's CLOSED-FORM derivation (SparkEntry)
+  * against the real parse path: for a spread of synthesized URLs, the
+  * striped byte/row accounting and tag-rate features computed from the
+  * golden text (Blocks.splitText → buildState → absorb → extractors5
+  * rate functions) must equal the arithmetic the DuckDB oracle encodes
+  * (row-length constants, optional-row branches, link-kind histogram,
+  * HTTP-block multiplicity). A NetSynth body change that breaks the
+  * closed form fails HERE, not first in the driver's oracle run. */
+class HtmlFeaturesOracleSpec extends AnyFunSuite {
+
+  private def pos(h: Long, m: Int): Int = java.lang.Math.floorMod(h, m.toLong).toInt
+
+  /** The oracle's arithmetic, in Scala (same constants as the SQL). */
+  private def closedForm(url: String): (Long, Int, Int, Int, Int, Long, Long) = {
+    val h = NetSynth.urlSeed(url)
+    val dlen = Canonicalize.crawlerDomain(url).length
+    val nb = if (pos(h, 26) == 0) 3 else if (pos(h, 13) == 0) 2 else 1
+    def m(p: Int) = if (pos(h, p) == 0) 1 else 0
+    val nLinks = 2 + NetSynth.linkCount(url)
+    val kinds = (0 until nLinks).map(i => NetSynth.linkKind(url, i))
+    val linkBytes = kinds.map {
+      case 0 => 21 + 18 + dlen
+      case 1 => 21 + 26
+      case 2 => 21 + 11
+      case 3 => 21 + 1
+      case _ => 21 + 19
+    }.sum
+    val nNull = kinds.count(k => k == 3 || k == 4)
+    val extCounts = (0 until nLinks).filter(i => kinds(i) == 1)
+      .groupBy(i => NetSynth.linkExt(url, i)).values.map(_.size)
+    val mx = if (extCounts.isEmpty) 0 else extCounts.max
+    val rowsB = 15 + m(11) + m(31) + m(7) + 6 * m(5) + m(6) + nLinks
+    val srowsB = 4 + m(5) + m(6)
+    val lenB = 338 + dlen + 69 * m(11) + 75 * m(31) + 52 * m(7) +
+      (202 + dlen) * m(5) + 34 * m(6) + linkBytes
+    (nb.toLong * (lenB + rowsB - 1), nb * rowsB, nb * srowsB, nb * 4,
+      nb * nLinks, (nb * mx).toLong, (nb * nNull).toLong)
+  }
+
+  test("closed-form oracle arithmetic equals the real parse path") {
+    // deterministic URL spread over the synthesized shapes (hot hosts,
+    // www hosts, dup class, IP literal, port, userinfo, query string)
+    val urls = (0 until 4000).map { k =>
+      val host = k % 10 match {
+        case 0 | 1 => s"hot${k % 2}.example.com"
+        case 2     => s"93.184.216.${k % 250}"
+        case 3     => s"user@www.h${k % 97}.example.com"
+        case 4     => s"www.h${k % 97}.example.com:8080"
+        case 5     => "dup.example.com"
+        case _     => s"www.h${k % 97}.example.com"
+      }
+      s"http://$host/p/$k${if (k % 5 == 4) s"?q=${k % 50}" else ""}"
+    }
+    var checked = 0
+    var sawMulti = Set.empty[Int]
+    for (url <- urls; p <- Fixtures.pageFor(url); if p.text != null) {
+      val bd = graft.parse.Blocks.splitText(p.text)
+      val http = bd.blocks.getOrElse("http", Vector.empty)
+      val st = http.map(HttpFeatures.buildState).reduce((prev, cur) => cur.absorb(prev))
+      val pageDomain = Canonicalize.extractorDomain(graft.py.Py.rstrip(url))
+      val (bytes, rows, srows, styrows, aTags, mx, nNull) = closedForm(url)
+      sawMulti += http.size
+      assert(st.bytes.toLong == bytes, s"bytes for $url")
+      assert(st.totalRows == rows, s"rows for $url")
+      assert(st.scriptBlockRows == srows, s"script rows for $url")
+      assert(st.styleBlockRows == styrows, s"style rows for $url")
+      assert(st.aTags.size == aTags, s"a tags for $url")
+      // rate features against the oracle's integer components
+      def micro(x: Double): Long = math.rint(x * 1e6).toLong
+      assert(micro(HttpFeatures.externalATagSameDomain(st, pageDomain)) ==
+        micro(mx.toDouble / aTags), s"ext rate for $url")
+      assert(micro(HttpFeatures.nullATag(st)) ==
+        micro(nNull.toDouble / aTags), s"null rate for $url")
+      assert(micro(HttpFeatures.sameExternalDomainLinkRate(st, pageDomain)) == 1000000L)
+      assert(micro(HttpFeatures.sameExternalDomainImgRate(st, pageDomain)) == 500000L)
+      assert(micro(HttpFeatures.sameExternDomainScriptRate(st, pageDomain)) == 500000L)
+      checked += 1
+    }
+    assert(checked > 2000, s"only $checked live pages — population drifted")
+    // the A9 merge monoid must be LIVE: single, double (redirect) and
+    // triple (cycle) HTTP-block pages must all occur in the spread
+    assert(sawMulti == Set(1, 2, 3), s"block multiplicities seen: $sawMulti")
+  }
+}

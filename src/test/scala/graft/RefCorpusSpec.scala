@@ -29,12 +29,18 @@ class RefCorpusSpec extends AnyFunSuite {
   private val refDir = "/root/reference"
 
   /** `codecs.open(path, 'r', 'utf8').readlines()` + `u.rstrip()`, as
-    * `crawl_from_file` does (spider.py:517-520). The trailing-newline
-    * split matches readlines: a final line without '\n' still yields. */
+    * `crawl_from_file` does (spider.py:517-520), EXACTLY: a blank line
+    * reads as "\n", rstrips to "" and is KEPT (crawl_from_file crawls
+    * it), so empties survive here too — only the split artifact of the
+    * file's final trailing '\n' (not a readlines line) is dropped. The
+    * two shipped corpora contain no blank lines (golden counts below),
+    * so this is semantics hygiene, not a count change. */
   private def seedLines(name: String): Vector[String] = {
     val raw = new String(
       Files.readAllBytes(Paths.get(refDir, name)), StandardCharsets.UTF_8)
-    raw.split("\n", -1).toVector.filter(_.nonEmpty).map(Py.rstrip)
+    val parts = raw.split("\n", -1).toVector
+    val lines = if (parts.nonEmpty && parts.last.isEmpty) parts.init else parts
+    lines.map(Py.rstrip)
   }
 
   private lazy val allUrls: Vector[String] =

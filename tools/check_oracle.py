@@ -1,58 +1,64 @@
 #!/usr/bin/env python3
-"""Local emulation of the driver's correctness gate: read Verify's parquet
-dumps + oracle_sql.json, run each oracle in DuckDB over the same sf tables,
-compare (sorted columns, sorted rows, exact values). Usage:
-  python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+"""Local replica of the driver's DuckDB oracle compare for one query.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir> <query_name>
+
+Reads <verify_out_dir>/<query>.parquet (the Spark result written by
+graft.Verify) and oracle_sql.json, runs the oracle SQL in DuckDB with
+the sf dir's parquet tables registered as views, and diffs the two
+result sets the way the driver does: columns sorted by name, rows
+sorted, exact value equality.
 """
-import duckdb, glob, json, os, sys
+import json
+import sys
 
-out, sf = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for p in sorted(glob.glob(f"{sf}/*.parquet")):
-    name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+import duckdb
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
-fails = []
-for name in sorted(oracle):
-    sql = oracle[name]
-    try:
-        duck = con.execute(sql).fetchdf()
-    except Exception as e:
-        fails.append((name, f"oracle SQL error: {e}"))
-        continue
-    try:
-        spark = con.execute(
-            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
-    except Exception as e:
-        fails.append((name, f"spark result missing: {e}"))
-        continue
-    dc, sc = sorted(duck.columns), sorted(spark.columns)
-    if dc != sc:
-        fails.append((name, f"columns differ: duck={dc} spark={sc}"))
-        continue
-    d = duck[dc].sort_values(dc).reset_index(drop=True)
-    s = spark[dc].sort_values(dc).reset_index(drop=True)
-    if len(d) != len(s):
-        fails.append((name, f"row counts differ: duck={len(d)} spark={len(s)}"))
-        continue
-    # exact string-canonical compare
-    mism = None
-    for c in dc:
-        dv = d[c].astype(str).tolist()
-        sv = s[c].astype(str).tolist()
-        if dv != sv:
-            for i, (a, b) in enumerate(zip(dv, sv)):
-                if a != b:
-                    mism = f"col {c} row {i}: duck={a!r} spark={b!r}"
-                    break
-            break
-    if mism:
-        fails.append((name, mism))
-    else:
-        print(f"OK   {name} ({len(d)} rows)")
 
-for name, why in fails:
-    print(f"FAIL {name}: {why}")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle-backed queries match")
-sys.exit(1 if fails else 0)
+def main() -> int:
+    out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except duckdb.Error:
+            pass
+    oracle = con.execute(sql).fetchdf()
+    spark = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    o = oracle[sorted(oracle.columns)].sort_values(
+        by=sorted(oracle.columns)).reset_index(drop=True)
+    s = spark[sorted(spark.columns)].sort_values(
+        by=sorted(spark.columns)).reset_index(drop=True)
+    print(f"rows: spark={len(s)} oracle={len(o)}")
+    print(f"cols: spark={list(s.columns)}")
+    print(f"      oracle={list(o.columns)}")
+    if list(s.columns) != list(o.columns):
+        print("COLUMN MISMATCH")
+        return 1
+    if len(s) != len(o):
+        print("ROW COUNT MISMATCH")
+        return 1
+    # exact compare after normalizing integer dtypes
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        try:
+            import pandas as pd
+            eq = (sv.astype("object") == ov.astype("object"))
+        except Exception:
+            eq = sv == ov
+        bad = (~eq).to_numpy().nonzero()[0]
+        if len(bad):
+            print(f"MISMATCH in column {c}: {len(bad)} rows, first 5:")
+            for i in bad[:5]:
+                print(f"  row {i}: spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r} "
+                      f"key={s.iloc[i].to_dict()}")
+            return 1
+    print("MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
