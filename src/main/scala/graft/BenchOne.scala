@@ -55,7 +55,10 @@ object BenchOne {
           // properties itself may be null (job with no local properties)
           def p(k: String) =
             Option(js.properties).flatMap(ps => Option(ps.getProperty(k))).getOrElse("")
-          println(s"JOBSTART ${js.jobId} ${js.time} ${p("spark.job.description")} ${p("callSite.short")}")
+          // stage names carry the RDD call sites — the only reliable
+          // attribution for AQE stage-jobs (description is often empty)
+          val stages = js.stageInfos.map(si => s"${si.stageId}:${si.name}").mkString(" | ")
+          println(s"JOBSTART ${js.jobId} ${js.time} ${p("spark.job.description")} ${p("callSite.short")} :: $stages")
         }
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           println(s"JOBEND ${je.jobId} ${je.time}")

@@ -439,8 +439,24 @@ final class CrawlWave(
   /** Robots deny + politeness schedule over an [[initFrontier]]-shaped
     * frame; scheduled rows get wave numbers starting at `waveOffset`
     * (0 for the seed plan, lastWave+1 for discovery generations). */
-  private def schedulePlan(frontier0: DataFrame, waveOffset: Int): DataFrame = {
+  private def schedulePlan(frontier0raw: DataFrame, waveOffset: Int): DataFrame = {
     val agent = cfg.agent
+    releasePlanScratch() // at most one generation's scratch in flight
+    // With robots on, frontier0 feeds TWO subtrees of ONE plan — the
+    // rules-table's distinct-host side and the deny join's left side —
+    // and uncached, Catalyst evaluates the full upstream (seed scan →
+    // url-dup window → canonicalize/hash projections) once PER SUBTREE:
+    // the 1-core init profile shows it as twin same-duration jobs
+    // (~7 s each at rep 16 sf0.1), and the duplicated window pass is
+    // exactly the stage class that scales worst on this box. Persist
+    // for the plan build; released with the plan scratch.
+    val frontier0 =
+      if (!cfg.robots) frontier0raw
+      else {
+        val f = frontier0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        planScratch ::= f
+        f
+      }
     val denied0 =
       if (!cfg.robots) frontier0.withColumn("crawl_delay_ms", lit(null).cast("long"))
       else {
@@ -462,8 +478,7 @@ final class CrawlWave(
     // window → robots join) — measured 3× the planning work at rep=4.
     // Persist once; released by the caller after the plan materializes.
     val denied = denied0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releasePlanScratch() // at most one in flight
-    planScratch = denied
+    planScratch ::= denied
     val scheduled = Politeness
       .schedule(denied.where(col("state") === "ready"), cfg.wavePeriodMs,
         twoPhaseRank = cfg.scalableRank)
@@ -473,11 +488,13 @@ final class CrawlWave(
       .unionByName(scheduled).drop("crawl_delay_ms")
   }
 
-  /** The intermediate plan frame persisted by [[schedulePlan]], alive
-    * until the derived plan is materialized (cache + commit). */
-  private var planScratch: DataFrame = _
+  /** The intermediate plan frames persisted by [[schedulePlan]] (the
+    * pre-robots frontier + the denied frame), alive until the derived
+    * plan is materialized (cache + commit). */
+  private var planScratch: List[DataFrame] = Nil
   private def releasePlanScratch(): Unit = {
-    if (planScratch != null) { planScratch.unpersist(false); planScratch = null }
+    planScratch.foreach(_.unpersist(false))
+    planScratch = Nil
   }
 
   /** Error rows for plan-time terminal states (S2/S3 drops, dup,
@@ -506,31 +523,38 @@ final class CrawlWave(
       planErrorsWhere, planErrorsSelect)
 
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
+    // seq integrity FIRST, on the narrow seeds projection: `seq` is the
+    // engine's row identity — the final-wave reconcile joins
+    // frontier_delta back by it, and the politeness rank breaks
+    // (priority) ties by it — so a null or duplicated seq in
+    // caller-supplied seeds would corrupt the reconcile (row
+    // multiplication) and make the crawl order nondeterministic
+    // SILENTLY. Fail fast at the one place the contract enters (fresh
+    // init; discovery seqs are constructed unique, and resumes inherit
+    // a checked frontier). initFrontier maps seeds rows 1:1, so the
+    // check over seeds ≡ the check over the frontier — and running it
+    // here keeps countDistinct's EXPAND off the wide frontier plan
+    // (measured: ~9 s of the 39 s 1-core init at rep 16 sf0.1; over
+    // the 1-column projection of the caller's usually-cached seeds it
+    // is a fraction of that).
+    val sq = seeds.agg(count(lit(1)),
+      count(col("seq")), countDistinct(col("seq"))).head
+    val n = sq.getLong(0)
+    if (sq.getLong(1) < n)
+      throw new IllegalArgumentException(
+        s"seeds carry ${n - sq.getLong(1)} null seq values (of $n rows) — " +
+          "seq is the frontier row identity and must be non-null")
+    if (sq.getLong(2) < n)
+      throw new IllegalArgumentException(
+        s"seeds carry duplicate seq values (${sq.getLong(2)} distinct of $n " +
+          "rows) — seq is the frontier row identity (reconcile join key, " +
+          "politeness tie-break) and must be unique")
     // cache: the commit write AND the stats action both consume the plan
     val frontier = schedulePlan(initFrontier(seeds, cfg.fetchFtp), 0).cache()
     // ONE stats action over the cached plan: seed count + the plan's
     // last wave, both recorded in the manifest so the wave driver never
     // re-aggregates the frontier (ensurePlan is zero Spark jobs).
-    // seq integrity rides the same action: `seq` is the engine's row
-    // identity — the final-wave reconcile joins frontier_delta back by
-    // it, and the politeness rank breaks (priority) ties by it — so a
-    // null or duplicated seq in caller-supplied seeds would corrupt the
-    // reconcile (row multiplication) and make the crawl order
-    // nondeterministic SILENTLY. Fail fast at the one place the
-    // contract enters (fresh init; discovery seqs are constructed
-    // unique, and resumes inherit a checked frontier).
-    val st = frontier.agg(count(lit(1)), max("wave"),
-      count(col("seq")), countDistinct(col("seq"))).head
-    val n = st.getLong(0)
-    if (st.getLong(2) < n)
-      throw new IllegalArgumentException(
-        s"seeds carry ${n - st.getLong(2)} null seq values (of $n rows) — " +
-          "seq is the frontier row identity and must be non-null")
-    if (st.getLong(3) < n)
-      throw new IllegalArgumentException(
-        s"seeds carry duplicate seq values (${st.getLong(3)} distinct of $n " +
-          "rows) — seq is the frontier row identity (reconcile join key, " +
-          "politeness tie-break) and must be unique")
+    val st = frontier.agg(count(lit(1)), max("wave")).head
     val v = store.commit(
       replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
       append = Map(
