@@ -213,21 +213,41 @@ object CrawlWave {
     * all 0 (the reference's flat seed-order semantics). */
   def initFrontier(seeds: DataFrame): DataFrame = initFrontier(seeds, fetchFtp = false)
 
-  def initFrontier(seeds: DataFrame, fetchFtp: Boolean): DataFrame = {
-    // spider.py:526-535 tests url.lower() with DOTLESS suffixes: a path
-    // ending in 'calico' is skipped, and 'HTTP://…' / '….JPG' match
+  /** S2 scheme dispatch + S3 image-extension skip as Columns over a
+    * `url`-bearing frame — shared by [[initFrontier]]'s state marking
+    * and [[readyHosts]]'s window-free host derivation (one rule, no
+    * drift). spider.py:526-535 tests url.lower() with DOTLESS
+    * suffixes: a path ending in 'calico' is skipped, and 'HTTP://…' /
+    * '….JPG' match. The ext skip applies ONLY to http URLs — it lives
+    * inside the reference's http branch, so `ftp://…/x.jpg` IS fetched
+    * (quirk preserved). */
+  private def dispatchCond(fetchFtp: Boolean): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val urlLower = lower(col("url"))
     val imageExts = Seq("ico", "jpg", "png", "pdf", "bmp", "tiff")
     val extCond = imageExts.map(e => urlLower.endsWith(e)).reduce(_ || _)
-    // S2 dispatch: http* → HTTP; ftp: → FTP when enabled (S8); else drop.
-    // The image-extension skip (S3) applies ONLY to http URLs — it lives
-    // inside the reference's http branch (spider.py:526-535), so
-    // `ftp://…/x.jpg` IS fetched (quirk preserved).
     val schemeOk =
       if (fetchFtp) urlLower.startsWith("http") || urlLower.startsWith("ftp:")
       else urlLower.startsWith("http")
     val extSkip =
       if (fetchFtp) extCond && !urlLower.startsWith("ftp:") else extCond
+    (schemeOk, extSkip)
+  }
+
+  /** Distinct crawler-domain hosts of the rows [[initFrontier]] will
+    * mark fetchable — derived straight from the seeds frame, WITHOUT
+    * the url-dup window (dup rows share their url's host, so the set
+    * is exactly the ready rows' hosts). Feeding this to the robots
+    * rules table keeps the windowed frontier out of that subtree:
+    * before, the frontier had to be persisted just so the host-distinct
+    * side would not re-run the seed-scan → dup-window pass. */
+  def readyHosts(seeds: DataFrame, fetchFtp: Boolean): DataFrame = {
+    val (schemeOk, extSkip) = dispatchCond(fetchFtp)
+    seeds.where(schemeOk && !extSkip)
+      .select(crawlerDomainUdf(col("url")).as("host")).distinct()
+  }
+
+  def initFrontier(seeds: DataFrame, fetchFtp: Boolean): DataFrame = {
+    val (schemeOk, extSkip) = dispatchCond(fetchFtp)
     val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("url")
       .orderBy(col("seq").asc)
     val withPriority =
@@ -439,30 +459,26 @@ final class CrawlWave(
   /** Robots deny + politeness schedule over an [[initFrontier]]-shaped
     * frame; scheduled rows get wave numbers starting at `waveOffset`
     * (0 for the seed plan, lastWave+1 for discovery generations). */
-  private def schedulePlan(frontier0raw: DataFrame, waveOffset: Int): DataFrame = {
+  /** @param hosts the ready rows' distinct hosts
+    *        ([[CrawlWave.readyHosts]] over the same seeds) — computed
+    *        WITHOUT the dup window so the robots rules-table subtree
+    *        neither re-evaluates nor forces persisting the windowed
+    *        frontier (it used to: the 1-core init profile showed the
+    *        seed-scan → dup-window pass twice as twin ~7 s jobs, and
+    *        the persist that fixed it was itself a full wide-row cache
+    *        write). Hosts of non-ready rows may be absent: the deny
+    *        UDF only flips 'ready' rows and the schedule only reads
+    *        ready rows' crawl delays, so the join's null robots_txt on
+    *        dropped/dup rows is inert (dup rows share a ready row's
+    *        url, hence its host). */
+  private def schedulePlan(frontier0: DataFrame, waveOffset: Int,
+      hosts: DataFrame): DataFrame = {
     val agent = cfg.agent
     releasePlanScratch() // at most one generation's scratch in flight
-    // With robots on, frontier0 feeds TWO subtrees of ONE plan — the
-    // rules-table's distinct-host side and the deny join's left side —
-    // and uncached, Catalyst evaluates the full upstream (seed scan →
-    // url-dup window → canonicalize/hash projections) once PER SUBTREE:
-    // the 1-core init profile shows it as twin same-duration jobs
-    // (~7 s each at rep 16 sf0.1), and the duplicated window pass is
-    // exactly the stage class that scales worst on this box. Persist
-    // for the plan build; released with the plan scratch.
-    val frontier0 =
-      if (!cfg.robots) frontier0raw
-      else {
-        val f = frontier0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        planScratch ::= f
-        f
-      }
     val denied0 =
       if (!cfg.robots) frontier0.withColumn("crawl_delay_ms", lit(null).cast("long"))
       else {
-        val robots = Robots.rulesTable(
-          frontier0.where(col("state") === "ready").select("host").distinct(),
-          agent = agent)
+        val robots = Robots.rulesTable(hosts, agent = agent)
         val deniedUdf = udf { (txt: String, url: String) =>
           txt != null && !Robots.cachedParse(txt, agent).isAllowed(Robots.pathOf(url))
         }
@@ -549,12 +565,18 @@ final class CrawlWave(
         s"seeds carry duplicate seq values (${sq.getLong(2)} distinct of $n " +
           "rows) — seq is the frontier row identity (reconcile join key, " +
           "politeness tie-break) and must be unique")
-    // cache: the commit write AND the stats action both consume the plan
-    val frontier = schedulePlan(initFrontier(seeds, cfg.fetchFtp), 0).cache()
-    // ONE stats action over the cached plan: seed count + the plan's
-    // last wave, both recorded in the manifest so the wave driver never
-    // re-aggregates the frontier (ensurePlan is zero Spark jobs).
-    val st = frontier.agg(count(lit(1)), max("wave")).head
+    // plan stats (seed count + last wave, recorded in the manifest so
+    // the wave driver never re-aggregates the frontier — ensurePlan is
+    // zero Spark jobs) ride the COMMIT'S OWN WRITE via observe: the v1
+    // frontier write is then init's single materialization of the plan
+    // chain, where it used to be cache-materialize + agg re-scan +
+    // write (two extra passes over the wide plan on the init serial
+    // path). `metrics` is by-name in commit, evaluated after the write,
+    // so obs.get never blocks.
+    val obs = org.apache.spark.sql.Observation("init_stats")
+    val frontier = schedulePlan(initFrontier(seeds, cfg.fetchFtp), 0,
+        readyHosts(seeds, cfg.fetchFtp))
+      .observe(obs, count(lit(1)).as("n"), max(col("wave")).as("mw"))
     val v = store.commit(
       replace = Map("frontier" -> frontier, "seen_bloom" -> emptyBlobs(spark)),
       append = Map(
@@ -567,11 +589,13 @@ final class CrawlWave(
       // (init only runs on an empty store → this is always v1)
       appendRef = Map("errors" -> planErrorsRef(
         f"data/frontier/v${store.latestVersion.getOrElse(0) + 1}%05d")),
-      metrics = Map("wave" -> -1L, "seeds" -> st.getLong(0), "gen" -> 0L,
-        "gen_wave0" -> 0L, "seen_keep_dirs" -> 0L,
-        "max_wave" -> (if (st.isNullAt(1)) -1L else st.getInt(1).toLong))
-        ++ layoutMetrics)
-    frontier.unpersist()
+      metrics = {
+        val m = obs.get
+        Map("wave" -> -1L, "seeds" -> m("n").asInstanceOf[Long], "gen" -> 0L,
+          "gen_wave0" -> 0L, "seen_keep_dirs" -> 0L,
+          "max_wave" -> Option(m("mw")).map(_.asInstanceOf[Int].toLong)
+            .getOrElse(-1L)) ++ layoutMetrics
+      })
     releasePlanScratch()
     v
   }
@@ -734,7 +758,8 @@ final class CrawlWave(
         .zipWithIndex()
         .map { case (u, i) => (baseSeq + 1 + i, u) })
       .toDF("seq", "url")
-    val planned = schedulePlan(initFrontier(newSeeds, cfg.fetchFtp), planMaxWave + 1).cache()
+    val planned = schedulePlan(initFrontier(newSeeds, cfg.fetchFtp), planMaxWave + 1,
+      readyHosts(newSeeds, cfg.fetchFtp)).cache()
     val st = planned.agg(max("wave")).head
     val newMax = if (st.isNullAt(0)) planMaxWave
       else math.max(planMaxWave, st.getInt(0))

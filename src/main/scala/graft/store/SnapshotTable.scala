@@ -199,12 +199,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * re-read; missing entries are left out of the manifest rather than
     * recounted (counting a just-written multi-GB table is exactly the
     * serial overhead this store exists to avoid). */
+  /** `metrics` is BY-NAME, evaluated after the table writes and just
+    * before the manifest render: a caller can thus derive manifest
+    * metrics from the commit's own write pass (e.g. via
+    * `Dataset.observe` — the crawl plan's stats ride the v1 frontier
+    * write instead of costing a separate materialization). */
   def commit(
       replace: Map[String, DataFrame] = Map.empty,
       append: Map[String, DataFrame] = Map.empty,
       appendRef: Map[String, ViewRef] = Map.empty,
       squash: Map[String, (Int, DataFrame)] = Map.empty,
-      metrics: Map[String, Long] = Map.empty,
+      metrics: => Map[String, Long] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
       expectedParent: Option[Int] = None): Int = {
     val parent = latestVersion
