@@ -534,8 +534,17 @@ final class CrawlWave(
     "CAST(NULL AS string) AS text",
     "CAST(NULL AS array<double>) AS features",
     "false AS render_match")
+  /** The base is the frontier table ROOT (not the version dir), so the
+    * seed plan's and every discovery generation's error views share one
+    * (base, where, select) shape and the commit merge folds them into a
+    * SINGLE view group: errors reads one multi-dir parquet scan + one
+    * filter instead of O(generations) separately-filtered scans, and
+    * the manifest's views list stays O(1) in generations (round-3
+    * ADVICE). ViewRef dirs are store-relative full paths; base only
+    * feeds the reader's basePath (no k=v partition dirs here, so the
+    * wider base changes no inferred columns). */
   private def planErrorsRef(frontierDir: String): graft.store.SnapshotTable.ViewRef =
-    graft.store.SnapshotTable.ViewRef(frontierDir, Seq(frontierDir),
+    graft.store.SnapshotTable.ViewRef("data/frontier", Seq(frontierDir),
       planErrorsWhere, planErrorsSelect)
 
   def init(seeds: DataFrame): Int = store.latestVersion.getOrElse {
