@@ -796,12 +796,17 @@ object Bench {
       topUps(2)
       // scale-config catch-up: when the gate consumed phase 3's
       // window, the scale-feature fork is still a REPORTED DELIVERABLE
-      // (scale_config_urls_per_sec). Cost model = the measured
-      // headline + fork overhead, same as the retry's.
+      // (scale_config_urls_per_sec). The catch-up starts on the
+      // OPTIMISTIC cost bound (measured headline + minimal fork
+      // overhead): the floor-aware kill-cap already guarantees the
+      // final line, so a tight fit should be attempted, not skipped —
+      // replicate 43 skipped this fork by a 3 s guard margin while
+      // ~150 s of budget went unused.
       val cost = if (crawlSec.isNaN) 300.0 else crawlSec * 1.3 + 60
-      if (scaleCfg.isEmpty && !crawlSec.isNaN && remaining > cost + 30) {
+      val minCost = if (crawlSec.isNaN) 250.0 else crawlSec * 1.05 + 45
+      if (scaleCfg.isEmpty && !crawlSec.isNaN && remaining > minCost + 25) {
         syncFs()
-        val r = runAt(cpus, cpus * partsPerCore, fix,
+        val r = runAt(cpus, cpus * partsPerCore, fix, floor = 20.0,
           extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
         if (!r.failed) scaleCfg = Some(r)
         println(line(gateJson))
