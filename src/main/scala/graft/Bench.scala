@@ -510,8 +510,15 @@ object Bench {
           (a, measure(4 * w, wParts, fix, floor, rep)) }
       if (!rN.failed && !r4.failed) {
         pairsOf(w) = pairsOf.getOrElse(w, Nil) :+ ((rN, r4))
-        // ~12 s: the pair's platform reference, same regime, same cores
-        probesOf(w) = probesOf.getOrElse(w, Nil) :+ platformProbe(w)
+        // ~12 s: the pair's platform reference, same regime, same cores.
+        // The pure-compute ceiling has measured 0.61–1.0 across ~50
+        // probes; a reading far outside that band (observed: 0.311 —
+        // the 12 s probe itself straddling a co-tenant spike) explains
+        // nothing, so one retry replaces a provably-implausible value
+        // (plausible-but-low readings are kept: they ARE the evidence).
+        val p0 = platformProbe(w)
+        probesOf(w) = probesOf.getOrElse(w, Nil) :+
+          (if (p0 < 0.5 || p0 > 1.05) platformProbe(w) else p0)
       }
     }
     def pairEff(p: (Leg, Leg)): Double = (p._1.sec / p._2.sec) / 4.0
