@@ -39,6 +39,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * result line follows every phase and every gate pair, so an external
   * kill anywhere leaves the best evidence so far.
   *
+  * Round-5 window adaptivity (from the round-4 verdict: the budget
+  * model priced phases for a quiet window while the driver landed on
+  * slow ones four rounds running):
+  *  - the FIRST fork (the headline) measures the window: its wall time
+  *    over the recorded quiet band (`SPARK_GRAFT_QUIET_HEADLINE_SEC`,
+  *    default 40 s) is the `window_mult` every later phase prices with;
+  *  - a SLOW window (mult ≥ 1.5) starts the gate at HALF rep
+  *    immediately — two-plus same-regime half pairs beat one slow
+  *    full-rep pair, and a half-rep clear is conservative — and runs
+  *    the scale-config fork at half rep too (`scale_config_rep`);
+  *  - headline insurance: a first sample ≥ 2× quiet band funds one
+  *    immediate retry BEFORE the gate spends the budget, provided two
+  *    pairs + scale-config + queries stay funded;
+  *  - the artifact carries a checked-in same-code replicate `ledger`
+  *    block (BASELINE.md distribution summary) next to — never instead
+  *    of — the run's own measured gate.
+  *
   * Scaling protocol (BASELINE.md, unchanged since round 3): the same
   * crawl at N and 4N cores on the same pre-materialized input, each
   * level in a FRESH FORKED JVM (sequential sessions in one JVM degrade
@@ -279,11 +296,48 @@ object Bench {
     var crawlSec = Double.NaN
     var headlineLeg: Option[Leg] = None
     var headlineRuns = 0
+
+    // same-code replicate-ledger context (round-4 verdict, next-round
+    // #5): a checked-in summary of the full-protocol replicate
+    // distribution at this engine HEAD, emitted verbatim into the
+    // artifact so a noisy driver window is at least accompanied by the
+    // same-code evidence. Honest labeling, not substitution — the
+    // measured fields above it remain the round's numbers of record.
+    val ledgerJson: String =
+      try {
+        val in = getClass.getResourceAsStream("/graft/bench-ledger.json")
+        if (in == null) ""
+        else {
+          val s = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          in.close()
+          if (s.startsWith("{") && s.endsWith("}")) s""","ledger":$s""" else ""
+        }
+      } catch { case _: Throwable => "" }
     // EVERY headline sample, kept or not (headline_secs): the kept one
     // is a min statistic, so consumers need the discarded samples to
     // quantify the selection effect
     val headlineSecs = scala.collection.mutable.ArrayBuffer[Double]()
     var scaleCfg: Option[Leg] = None
+
+    // recorded quiet-band headline wall time (BASELINE.md: 33–48 s at
+    // rep 16 after the round-4 init cuts) — the reference the window-
+    // speed multiplier reads against
+    val quietHeadline =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_HEADLINE_SEC", "40").toDouble
+    // WINDOW-SPEED MULTIPLIER (round-4 verdict, next-round #1): the
+    // headline fork runs FIRST, so its wall time against the recorded
+    // quiet band measures how slow THIS window is by minute ~6. Every
+    // later phase prices itself with it: a slow window switches the
+    // gate to half-rep pairs immediately (two same-regime pairs beat
+    // one budget-killed full one; rep-8 ratios understate rep-16, so a
+    // half-rep clear is conservative) and runs the scale-config fork
+    // at reduced rep instead of pricing itself out.
+    def windowMult: Double = {
+      val fin = headlineSecs.filterNot(_.isNaN)
+      if (fin.isEmpty) 1.0 else math.max(1.0, fin.min / quietHeadline)
+    }
+    def slowWindow: Boolean = windowMult >= 1.5
 
     // guard non-finite doubles: a failed fork yields NaN seconds and a
     // zero-second leg makes urls/sec Infinity — either would render the
@@ -299,9 +353,10 @@ object Bench {
       val total = qTotal + (if (crawlSec.isNaN) 0.0 else crawlSec)
       val hs = headlineSecs.map(j).mkString("[", ",", "]")
       val sc = scaleCfg.map { l =>
-        s""","scale_config_urls":${l.urls},"scale_config_sec":${j(l.sec)},"scale_config_urls_per_sec":${j(l.urls / l.sec)}"""
+        s""","scale_config_urls":${l.urls},"scale_config_sec":${j(l.sec)},"scale_config_urls_per_sec":${j(l.urls / l.sec)},"scale_config_rep":${l.rep}"""
       }.getOrElse("")
-      s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":${j(crawlSec)},"throughput_urls_per_sec":${j(urls / crawlSec)},"headline_runs":$headlineRuns,"headline_secs":$hs$sc$scaling}"""
+      val wm = s""","window_mult":${j(windowMult)},"quiet_headline_sec":${j(quietHeadline)}"""
+      s"""{"metric":"crawl+extract urls/sec + headline ops","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls":$urls,"crawl_sec":${j(crawlSec)},"throughput_urls_per_sec":${j(urls / crawlSec)},"headline_runs":$headlineRuns,"headline_secs":$hs$wm$sc$scaling$ledgerJson}"""
     }
 
     // flush dirty pages outside every timed window — background
@@ -485,8 +540,13 @@ object Bench {
         rx.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(Double.NaN)
       } catch { case _: Exception => Double.NaN }
     }
+    // workload-normalized seconds: a rep-8 fallback leg does ~half the
+    // rep-16 work, so raw seconds are not comparable across reps —
+    // comparing them let a half-rep leg displace a full-rep best and
+    // skew level_best_efficiency ~2x (round-4 ADVICE, medium)
+    def normSec(l: Leg): Double = l.sec * (seedRep.toDouble / l.rep)
     def better(a: Leg, b: Leg): Leg =
-      if (b.failed || (!a.failed && a.sec <= b.sec)) a else b
+      if (b.failed || (!a.failed && normSec(a) <= normSec(b))) a else b
     def measure(c: Int, dataParts: Int, fix: String, floor: Double, rep: Int): Leg = {
       val r = runAt(c, dataParts, fix, floor, rep)
       best(c) = best.get(c).map(better(_, r)).getOrElse(r)
@@ -518,7 +578,7 @@ object Bench {
         // (plausible-but-low readings are kept: they ARE the evidence).
         val p0 = platformProbe(w)
         probesOf(w) = probesOf.getOrElse(w, Nil) :+
-          (if (p0 < 0.5 || p0 > 1.05) platformProbe(w) else p0)
+          (if (p0.isNaN || p0 < 0.5 || p0 > 1.05) platformProbe(w) else p0)
       }
     }
     def pairEff(p: (Leg, Leg)): Double = (p._1.sec / p._2.sec) / 4.0
@@ -543,8 +603,17 @@ object Bench {
       plausibleBest(w).map(pairEff).getOrElse(Double.NegativeInfinity)
     def effRep(w: Int): Double =
       bestPair(w).map(pairEff).getOrElse(Double.NaN)
+    /** Median pair efficiency over pairs of the REPORTED pair's rep
+      * only: rep-16 and rep-8 pairs have different init/wave
+      * amortization, so pooling them is not a statistic of one
+      * protocol population (round-4 ADVICE, low). The rep the median
+      * covers is emitted as median_pair_rep. */
+    def medianRep(w: Int): Int =
+      bestPair(w).map(_._1.rep).getOrElse(seedRep)
     def medianEff(w: Int): Double = {
-      val es = pairsOf.getOrElse(w, Nil).map(pairEff).sorted
+      val rep = medianRep(w)
+      val es = pairsOf.getOrElse(w, Nil)
+        .filter(_._1.rep == rep).map(pairEff).sorted
       if (es.isEmpty) Double.NaN
       else if (es.size % 2 == 1) es(es.size / 2)
       else (es(es.size / 2 - 1) + es(es.size / 2)) / 2.0
@@ -555,9 +624,12 @@ object Bench {
     }
     def gate: Int = windows.maxBy(effSel)
     def other: Seq[Int] = windows.filterNot(_ == gate)
+    // level bests are rep-annotated and the cross-pair ratio compares
+    // WORKLOAD-NORMALIZED seconds (round-4 ADVICE: a half-rep best
+    // paired with a full-rep best must not read as a 2x ratio)
     def levelBestJson(w: Int): String =
       (for { a <- best.get(w); b <- best.get(4 * w) }
-        yield s""","level_best_n_sec":${j(a.sec)},"level_best_n4_sec":${j(b.sec)},"level_best_efficiency":${j((a.sec / b.sec) / 4.0)}""")
+        yield s""","level_best_n_sec":${j(a.sec)},"level_best_n_rep":${a.rep},"level_best_n4_sec":${j(b.sec)},"level_best_n4_rep":${b.rep},"level_best_efficiency":${j((normSec(a) / normSec(b)) / 4.0)}""")
         .getOrElse("")
     def altJson(w: Int): String =
       bestPair(w).map { case (a, b) =>
@@ -604,26 +676,53 @@ object Bench {
         // worse than the waves, see BASELINE.md round 3)
         val ssEffs = pairsOf.getOrElse(w, Nil).map(p => (p._1.waveSec / p._2.waveSec) / 4.0)
         val ssJson = s""","steady_state_n_sec":${j(lN.waveSec)},"steady_state_n4_sec":${j(l4.waveSec)},"steady_state_efficiency_n_to_4n":${j((lN.waveSec / l4.waveSec) / 4.0)},"steady_state_pair_efficiencies":${ssEffs.map(j).mkString("[", ",", "]")}"""
-        s""","scaling":{"rep":${lN.rep},"runs_per_level":$runs,"urls":${lN.urls},"n_cores":$w,"n_sec":${j(lN.sec)},"n_urls_per_sec":${j(lN.urls / lN.sec)},"n4_cores":${4 * w},"n4_sec":${j(l4.sec)},"n4_urls_per_sec":${j(l4.urls / l4.sec)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"pair_efficiencies":$pairEffs,"pair_reps":$pairReps,"leg_diag":${diagJson(w)}$probeJson$ssJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}$headlineJson}"""
+        s""","scaling":{"rep":${lN.rep},"runs_per_level":$runs,"urls":${lN.urls},"n_cores":$w,"n_sec":${j(lN.sec)},"n_urls_per_sec":${j(lN.urls / lN.sec)},"n4_cores":${4 * w},"n4_sec":${j(l4.sec)},"n4_urls_per_sec":${j(l4.urls / l4.sec)},"efficiency_n_to_4n":${j(effRep(w))},"median_pair_efficiency":${j(medianEff(w))},"median_pair_rep":${medianRep(w)},"pair_efficiencies":$pairEffs,"pair_reps":$pairReps,"leg_diag":${diagJson(w)}$probeJson$ssJson${levelBestJson(w)}${other.map(altJson).mkString},"session32_cores":$cpus,"session32_sec":${j(crawlSec)},"session32_urls_per_sec":${j(urls / crawlSec)}$headlineJson}"""
       }
     }
     // a clear = a pair that is BOTH >= 0.80 and plausible
     def cleared: Boolean = effSel(gate) >= 0.80
     /** Estimated wall cost of one pair at `rep` (legs + probe + fork
       * overhead), scaled from the best measured pair of any rep; the
-      * prior before any pair assumes quiet-band full-rep legs. */
+      * prior before any pair assumes quiet-band full-rep legs SCALED
+      * BY THE MEASURED WINDOW — round 4 priced phases for a quiet
+      * window on a 5× one and delivered one pair. The prior dampens
+      * the multiplier to sqrt: the 32-thread headline is memory-
+      * bandwidth-saturated and overstates pinned low-core slowdown
+      * (r04: headline 5.4× quiet while its gate legs ran 1.1–1.5×),
+      * and an undamped prior would refuse the first pair outright.
+      * After the first pair, measured legs price everything. */
     def pairCostFor(rep: Int): Double =
       bestPair(gate).map { case (a, b) =>
         (a.sec + b.sec) * (rep.toDouble / a.rep) * 1.1 + 75 }
-        .getOrElse(235.0 * rep / seedRep + 75)
+        .getOrElse(235.0 * (rep.toDouble / seedRep) * math.sqrt(windowMult) + 75)
     /** Largest affordable rep for the next gate pair given `floor`
       * (the budget later phases still need), or 0 for none. Full rep
-      * is the protocol number; half rep is the round-4 fallback that
-      * keeps pairs flowing when the window is slow. */
-    def affordableRep(floor: Double): Int =
-      if (remaining - floor > pairCostFor(seedRep)) seedRep
-      else if (halfRep < seedRep && remaining - floor > pairCostFor(halfRep)) halfRep
+      * is the protocol number; half rep is the round-4 fallback. On a
+      * SLOW window (headline ≥ 1.5× quiet band) half rep is chosen
+      * IMMEDIATELY, not only when a full-rep pair no longer fits:
+      * fitting exactly one slow full-rep pair is predictably useless
+      * (r04 artifact of record), while two-plus same-regime half pairs
+      * give the gate a median and a second chance at a balanced
+      * regime. pair_reps records the fallback per pair. */
+    def affordableRep(floor: Double): Int = {
+      val fullFits = remaining - floor > pairCostFor(seedRep)
+      val halfFits = halfRep < seedRep && remaining - floor > pairCostFor(halfRep)
+      if (slowWindow && halfFits) halfRep
+      else if (fullFits) seedRep
+      else if (halfFits) halfRep
       else 0
+    }
+
+    // Scale-config sizing, shared by phase 1's insurance arithmetic,
+    // phase 3 and phase 5's catch-up. On a SLOW window the fork runs
+    // at HALF rep (deterministic fixture filter, scale_config_rep
+    // records it): r04's crawlSec-proportional price on a 5× window
+    // priced the deliverable out of the artifact entirely — a half-rep
+    // throughput point beats none.
+    def scRep: Int = if (slowWindow) halfRep else seedRep
+    def scCost(mult: Double): Double =
+      if (crawlSec.isNaN) 300.0
+      else crawlSec * (scRep.toDouble / seedRep) * mult + 60
 
     // budget the query section needs (measured 70–110 s of queries +
     // ~40 s session setup/warmup at sf0.1, ~2× under host noise). The
@@ -651,6 +750,32 @@ object Bench {
         headlineRuns = 1; headlineSecs += r.sec
       }
       println(line(gateJson))
+      // HEADLINE INSURANCE (round-4 verdict, next-round #3): when the
+      // first sample exceeds ~2× the recorded quiet band (or the fork
+      // failed outright), fund one immediate retry BEFORE the gate
+      // spends the budget — r04 recorded a 0.56×-baseline headline as
+      // the round's only throughput number because the phase-5 retry
+      // found leftovers exhausted. A noise-spiked north metric is as
+      // bad as a noisy gate pair; min of two samples bounds it. Both
+      // samples stay visible in headline_secs. Discipline: the retry
+      // must leave the core gate deliverables funded (two pairs at the
+      // window's rep + the scale-config fork + the query reserve) —
+      // on the deepest windows those win and the retry stands down.
+      val retryCost = if (crawlSec.isNaN) 300.0 else crawlSec * 1.1 + 45
+      val laterNeeds = queryReserve + scCost(1.05) +
+        2 * pairCostFor(if (slowWindow) halfRep else seedRep)
+      if ((crawlSec.isNaN || crawlSec > 2.0 * quietHeadline) &&
+          remaining > retryCost + laterNeeds) {
+        syncFs()
+        val r2 = runAt(cpus, cpus * partsPerCore, d, floor = queryReserve)
+        if (!r2.failed) {
+          headlineRuns += 1; headlineSecs += r2.sec
+          if (crawlSec.isNaN || r2.sec < crawlSec) {
+            urls = r2.urls; crawlSec = r2.sec; headlineLeg = Some(r2)
+          }
+        }
+        println(line(gateJson))
+      }
     }
 
     // --------------------------------------- phase 2: SCALING GATE
@@ -704,10 +829,10 @@ object Bench {
     // throughput next to the default config's headline. The query
     // reserve stays protected; a skipped fork is retried in phase 5.
     if (fixDir.isDefined && !crawlSec.isNaN &&
-        remaining - queryReserve > crawlSec * 1.3 + 60) {
+        remaining - queryReserve > scCost(1.3)) {
       syncFs()
       val r = runAt(cpus, cpus * partsPerCore, fixDir.get, floor = queryReserve,
-        extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
+        rep = scRep, extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
       if (!r.failed) scaleCfg = Some(r)
       println(line(gateJson))
     }
@@ -810,11 +935,13 @@ object Bench {
       // replicate 43 skipped this fork by a 3 s guard margin while
       // ~150 s of budget went unused.
       val cost = if (crawlSec.isNaN) 300.0 else crawlSec * 1.3 + 60
-      val minCost = if (crawlSec.isNaN) 250.0 else crawlSec * 1.05 + 45
+      val minCost =
+        if (crawlSec.isNaN) 250.0
+        else crawlSec * (scRep.toDouble / seedRep) * 1.05 + 45
       if (scaleCfg.isEmpty && !crawlSec.isNaN && remaining > minCost + 25) {
         syncFs()
         val r = runAt(cpus, cpus * partsPerCore, fix, floor = 20.0,
-          extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
+          rep = scRep, extraEnv = Map("SPARK_GRAFT_SCALE_CONFIG" -> "1"))
         if (!r.failed) scaleCfg = Some(r)
         println(line(gateJson))
       }

@@ -827,10 +827,19 @@ object SparkEntry {
       Some(Synth.duck(withSeeds(
         // Closed-form replica of the synthesized body's striped-row
         // accounting (NetSynth.forUrlImpl:178-218). Per live URL:
-        //  - 15 constant rows (html/head, title, css link, 4 style
-        //    rows, head/body, 2 imgs, script src, script open,
+        //  - 16 constant rows (html/head, title, css link, icon link,
+        //    4 style rows, head/body, 2 imgs, script src, script open,
         //    `var t = 1;`, script close, body/html close — the
         //    comment-only row is DROPPED by __striped_html_str);
+        //  - asset-tag kind branches (md5 digits 3-7, NetSynth
+        //    cssKind/iconKind/img1Kind/img2Kind/scriptKind): css link
+        //    60 ch ext / 44+dlen same-domain / 37 relative; icon link
+        //    54 ext / 37 relative; img1 41 ext / 20 relative; img2
+        //    22 relative / 41 ext; script src 53 ext / 35 relative /
+        //    39+dlen same-domain — these drive the A3/A4/A5 rate
+        //    features across their operating points (link 0/.5/1,
+        //    img 0/.5/1, script 0/.5 — externals share one host per
+        //    tag family, so max-per-domain = external count);
         //  - optional rows by urlSeed branch: meta refresh (h%11=0,
         //    69 ch), base64 refresh (h%31=0, 75 ch), iframe (h%7=0,
         //    52 ch), form block + its getElementById script row
@@ -842,7 +851,8 @@ object SparkEntry {
         //    kind 1 external ext{0..6}.example.org 26; kind 2
         //    relative 11; kind 3 '#' 1; kind 4 javascript 19; kinds
         //    2-4 canonicalize to '.', kinds 3-4 are the null hrefs);
-        //  - constant char sum 338+dlen, +rows-1 joining newlines;
+        //  - constant char sum 162+dlen (+ the asset branch terms
+        //    above), +rows-1 joining newlines;
         //  - the whole block ×1/2/3 for the redirect-history HTTP
         //    block multiplicity (h%26=0 → cycle → 3, h%13=0 → 2).
         s"""$fetchableCte,
@@ -861,6 +871,11 @@ object SparkEntry {
            |  ${NetSynth.floorModSql("hb.h", 7)} AS p7, ${NetSynth.floorModSql("hb.h", 11)} AS p11,
            |  ${NetSynth.floorModSql("hb.h", 31)} AS p31, ${NetSynth.floorModSql("hb.h", 13)} AS p13,
            |  ${NetSynth.floorModSql("hb.h", 26)} AS p26,
+           |  (${NetSynth.md5DigitSql("hb.url", 3)} % 3) AS css_k,
+           |  (${NetSynth.md5DigitSql("hb.url", 4)} % 2) AS icon_k,
+           |  (${NetSynth.md5DigitSql("hb.url", 5)} % 2) AS img1_k,
+           |  (${NetSynth.md5DigitSql("hb.url", 6)} % 2) AS img2_k,
+           |  (${NetSynth.md5DigitSql("hb.url", 7)} % 3) AS script_k,
            |  2 + ${NetSynth.linkCountSql("hb.url")} AS nlinks
            |  FROM hb JOIN kd ON hb.url = kd.url WHERE ${NetSynth.liveSql("hb.hm")}),
            |lk AS (SELECT f.url, f.dlen, t.i,
@@ -883,12 +898,20 @@ object SparkEntry {
            |        CASE WHEN f.p7 = 0 THEN 1 ELSE 0 END AS m7,
            |        CASE WHEN f.p5 = 0 THEN 1 ELSE 0 END AS m5,
            |        CASE WHEN f.p6 = 0 THEN 1 ELSE 0 END AS m6,
+           |        CASE f.css_k WHEN 0 THEN 60 WHEN 1 THEN 44 + f.dlen ELSE 37 END
+           |          + CASE f.icon_k WHEN 0 THEN 54 ELSE 37 END
+           |          + CASE f.img1_k WHEN 0 THEN 41 ELSE 20 END
+           |          + CASE f.img2_k WHEN 0 THEN 22 ELSE 41 END
+           |          + CASE f.script_k WHEN 0 THEN 53 WHEN 1 THEN 35 ELSE 39 + f.dlen END AS asset_bytes,
+           |        (CASE WHEN f.css_k = 0 THEN 1 ELSE 0 END) + (CASE WHEN f.icon_k = 0 THEN 1 ELSE 0 END) AS link_ext,
+           |        (CASE WHEN f.img1_k = 0 THEN 1 ELSE 0 END) + (CASE WHEN f.img2_k = 1 THEN 1 ELSE 0 END) AS img_ext,
+           |        CASE WHEN f.script_k = 0 THEN 1 ELSE 0 END AS script_ext,
            |        la.link_bytes, la.nnull, coalesce(em.mx, 0) AS mx
            |      FROM f JOIN la ON f.url = la.url LEFT JOIN em ON f.url = em.url),
-           |t AS (SELECT url, nlinks, nb, mx, nnull,
-           |        15 + m11 + m31 + m7 + 6 * m5 + m6 + nlinks AS rows_b,
+           |t AS (SELECT url, nlinks, nb, mx, nnull, link_ext, img_ext, script_ext,
+           |        16 + m11 + m31 + m7 + 6 * m5 + m6 + nlinks AS rows_b,
            |        4 + m5 + m6 AS srows_b,
-           |        338 + dlen + 69 * m11 + 75 * m31 + 52 * m7 + (202 + dlen) * m5 + 34 * m6 + link_bytes AS len_b
+           |        162 + dlen + 69 * m11 + 75 * m31 + 52 * m7 + (202 + dlen) * m5 + 34 * m6 + link_bytes + asset_bytes AS len_b
            |      FROM g)
            |SELECT url,
            |  cast(nb * (len_b + rows_b - 1) as bigint) AS striped_bytes,
@@ -900,9 +923,9 @@ object SparkEntry {
            |  cast(round(CAST(nb * nnull AS DOUBLE) / (nb * nlinks) * 1000000, 0) as bigint) AS null_a_micro,
            |  cast(round(CAST(nb * srows_b AS DOUBLE) / (nb * rows_b) * 1000000, 0) as bigint) AS script_block_rate_micro,
            |  cast(round(CAST(nb * 4 AS DOUBLE) / (nb * rows_b) * 1000000, 0) as bigint) AS style_block_rate_micro,
-           |  cast(1000000 as bigint) AS link_rate_micro,
-           |  cast(500000 as bigint) AS img_rate_micro,
-           |  cast(500000 as bigint) AS script_rate_micro
+           |  cast(round(CAST(nb * link_ext AS DOUBLE) / (nb * 2) * 1000000, 0) as bigint) AS link_rate_micro,
+           |  cast(round(CAST(nb * img_ext AS DOUBLE) / (nb * 2) * 1000000, 0) as bigint) AS img_rate_micro,
+           |  cast(round(CAST(nb * script_ext AS DOUBLE) / (nb * 2) * 1000000, 0) as bigint) AS script_rate_micro
            |FROM t""".stripMargin)))),
 
     // ---------------- TF-IDF family (§2.4 A10-A13, §3.3)

@@ -69,8 +69,40 @@ object NetSynth {
   /** External-host index for kind-1 links (0..6). */
   def linkExt(url: String, i: Int): Int = md5Digit(s"$url#a$i", 2) % 7
 
-  /** [[linkCount]]/[[linkKind]]/[[linkExt]] as shared-dialect SQL
-    * (DuckDB `instr` is 1-based, matching Spark). */
+  // ---- asset-tag mixes (round-5: the A3/A4/A5 rate features must be
+  // exercised at MULTIPLE operating points per URL population, not the
+  // single constant the first body shape produced — round-4 verdict
+  // "What's missing" #2). Each selector is an md5 digit of the URL
+  // (digits 3-7; digits 1-2 are taken by linkCount/isFetchMiss), so the
+  // html_features oracle can re-derive every branch in SQL exactly like
+  // the <a>-kind histogram.
+
+  /** Stylesheet `<link>` href kind: 0 external cdn host, 1 same-domain
+    * absolute, 2 relative ('.'-domain). */
+  def cssKind(url: String): Int = md5Digit(url, 3) % 3
+
+  /** Icon `<link>` href kind: 0 external cdn host (SAME host as the
+    * stylesheet's external branch — the rate feature is a max-per-
+    * domain count, so two externals on one host read 2/2), 1 relative. */
+  def iconKind(url: String): Int = md5Digit(url, 4) % 2
+
+  /** First `<img>` src kind: 0 external img host, 1 relative. */
+  def img1Kind(url: String): Int = md5Digit(url, 5) % 2
+
+  /** Second `<img>` src kind: 0 relative, 1 external img host (same
+    * host as img1's external branch). */
+  def img2Kind(url: String): Int = md5Digit(url, 6) % 2
+
+  /** `<script src>` kind: 0 external js host, 1 relative, 2 same-domain
+    * absolute. */
+  def scriptKind(url: String): Int = md5Digit(url, 7) % 3
+
+  /** Hex digit `p` (1-based) of md5(urlCol) as an int 0..15, shared-
+    * dialect SQL (DuckDB `instr` is 1-based, matching Spark). */
+  def md5DigitSql(urlCol: String, p: Int): String =
+    s"(instr('0123456789abcdef', substr(md5($urlCol), $p, 1)) - 1)"
+
+  /** [[linkCount]]/[[linkKind]]/[[linkExt]] as shared-dialect SQL. */
   def linkCountSql(urlCol: String): String =
     s"((instr('0123456789abcdef', substr(md5($urlCol), 1, 1)) - 1) % 4)"
   def linkKindSql(urlCol: String, iCol: String): String =
@@ -183,7 +215,16 @@ object NetSynth {
       sb ++= "<meta http-equiv=\"refresh\" content=\"0; url=http://next.example.com/\">\n"
     if (pos(h, 31) == 0)
       sb ++= "<meta http-equiv=\"refresh\" content=\"0; url=data:text/html;base64,PGh0bWw+\">\n"
-    sb ++= s"""<link rel="stylesheet" href="http://cdn${pos(h, 5)}.example.net/s.css">\n"""
+    val cssHref = cssKind(url) match {
+      case 0 => s"http://cdn${pos(h, 5)}.example.net/s.css"
+      case 1 => s"http://$domain/s.css"
+      case _ => "/s.css"
+    }
+    sb ++= s"""<link rel="stylesheet" href="$cssHref">\n"""
+    val iconHref =
+      if (iconKind(url) == 0) s"http://cdn${pos(h, 5)}.example.net/f.ico"
+      else "/favicon.ico"
+    sb ++= s"""<link rel="icon" href="$iconHref">\n"""
     sb ++= "<style>\nbody { color: black; }\n.hidden { display: none; }\n</style>\n"
     sb ++= "</head><body>\n"
     if (pos(h, 7) == 0) sb ++= "<iframe src=\"http://frames.example.net/ad\"></iframe>\n"
@@ -205,10 +246,21 @@ object NetSynth {
       sb ++= s"""<a href="$href">link $i</a>\n"""
       i += 1
     }
-    sb ++= s"""<img src="http://img.example.net/i${pos(h, 6)}.gif">\n"""
-    sb ++= s"""<img src="local${pos(h, 3)}.png">\n"""
+    val img1Src =
+      if (img1Kind(url) == 0) s"http://img.example.net/i${pos(h, 6)}.gif"
+      else s"pic${pos(h, 6)}.png"
+    sb ++= s"""<img src="$img1Src">\n"""
+    val img2Src =
+      if (img2Kind(url) == 0) s"local${pos(h, 3)}.png"
+      else s"http://img.example.net/j${pos(h, 3)}.gif"
+    sb ++= s"""<img src="$img2Src">\n"""
     sb ++= "<!-- a comment-only line -->\n"
-    sb ++= s"""<script src="http://js.example.net/lib${pos(h, 4)}.js"></script>\n"""
+    val scriptSrc = scriptKind(url) match {
+      case 0 => s"http://js.example.net/lib${pos(h, 4)}.js"
+      case 1 => s"/js/lib${pos(h, 4)}.js"
+      case _ => s"http://$domain/lib${pos(h, 4)}.js"
+    }
+    sb ++= s"""<script src="$scriptSrc"></script>\n"""
     sb ++= "<script>\n"
     if (pos(h, 5) == 0)
       sb ++= s"var f = document.getElementById(\"login${pos(h, 4)}\");\n"

@@ -504,9 +504,9 @@ final class CrawlWave(
       .unionByName(scheduled).drop("crawl_delay_ms")
   }
 
-  /** The intermediate plan frames persisted by [[schedulePlan]] (the
-    * pre-robots frontier + the denied frame), alive until the derived
-    * plan is materialized (cache + commit). */
+  /** The intermediate plan frames persisted by [[schedulePlan]]
+    * (currently just the robots-checked `denied` frame), alive until
+    * the derived plan is materialized (cache + commit). */
   private var planScratch: List[DataFrame] = Nil
   private def releasePlanScratch(): Unit = {
     planScratch.foreach(_.unpersist(false))

@@ -41,14 +41,15 @@ def main() -> int:
     if len(s) != len(o):
         print("ROW COUNT MISMATCH")
         return 1
-    # exact compare after normalizing integer dtypes
+    # exact compare after normalizing integer dtypes, NaN-aware
+    # (NaN == NaN must read equal, like the old astype(str) compare did)
     for c in s.columns:
         sv, ov = s[c], o[c]
         try:
-            import pandas as pd
-            eq = (sv.astype("object") == ov.astype("object"))
+            eq = (sv.astype("object") == ov.astype("object")) | (
+                sv.isna() & ov.isna())
         except Exception:
-            eq = sv == ov
+            eq = (sv == ov) | (sv.isna() & ov.isna())
         bad = (~eq).to_numpy().nonzero()[0]
         if len(bad):
             print(f"MISMATCH in column {c}: {len(bad)} rows, first 5:")
